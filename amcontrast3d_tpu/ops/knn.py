@@ -1,0 +1,151 @@
+"""Exact k-nearest-neighbor and ball query over dense batched point clouds.
+
+TPU-first replacements for the reference CUDA kernels:
+
+* ``knn``         ↔ ``pointops.knnquery`` (heap-based exact kNN,
+  ``cpp/pointops/src/knnquery/knnquery_cuda_kernel.cu:65-108``) and the
+  torch.cdist+topk ``KNN`` module (``models/layers/group.py:12-28``).
+  Results are sorted by ascending distance; when query == support the first
+  neighbor is the point itself (distance 0), matching the reference's
+  "self-loop first" layout that callers drop with ``idx[..., 1:]``.
+* ``ball_query``  ↔ ``pointnet2_cuda.ball_query_wrapper``
+  (``cpp/pointnet2_batch/src/ball_query_gpu.cu:15-51``): the first ``nsample``
+  support points *in index order* whose squared distance is < radius², with
+  unfilled slots padded with the first in-radius index (exact reference
+  semantics, reproduced via an index-priority top-k).
+
+Instead of one thread per query point, both ops tile the query dimension and
+compute squared distances as ``|q|² + |s|² − 2·q·sᵀ`` — the ``q·sᵀ`` term is a
+(tile, N) matmul that rides the MXU, and ``lax.top_k`` selects neighbors.
+Tiles are scanned sequentially so peak memory is ``B·tile·N`` instead of
+``B·M·N``.
+
+Design deviation (documented): the reference's loss-side kNN flattens the
+whole batch into ONE offset segment (``pointnext_AA.py:459-462``), so
+neighborhoods may cross point-cloud boundaries.  Here kNN is always per-cloud
+(batched) — fixed shapes, no cross-cloud neighbor pollution.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INF = 1e10
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distance (reference ``AEF/function.py:18-39``).
+
+    src: (..., N, C), dst: (..., M, C) → (..., N, M).
+    """
+    d = -2.0 * jnp.matmul(src, jnp.swapaxes(dst, -1, -2))
+    d = d + jnp.sum(src ** 2, axis=-1, keepdims=True)
+    d = d + jnp.sum(dst ** 2, axis=-1)[..., None, :]
+    return d
+
+
+def _pad_queries(query: jnp.ndarray, tile: int) -> Tuple[jnp.ndarray, int]:
+    m = query.shape[-2]
+    pad = (-m) % tile
+    if pad:
+        query = jnp.pad(query, [(0, 0)] * (query.ndim - 2) + [(0, pad), (0, 0)])
+    return query, m
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def knn(support: jnp.ndarray, query: jnp.ndarray, k: int,
+        tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact kNN of ``query`` points among ``support`` points.
+
+    Args:
+      support: (B, N, 3) float — the searched set.
+      query:   (B, M, 3) float.
+      k: number of neighbors (ascending distance; ties → lowest index).
+      tile: query tile size for the scanned distance computation.
+    Returns:
+      idx:  (B, M, k) int32 indices into ``support``.
+      dist2: (B, M, k) float32 squared distances.
+    """
+    B, N, _ = support.shape
+    q, m = _pad_queries(query, tile)
+    num_tiles = q.shape[1] // tile
+    q_tiles = q.reshape(B, num_tiles, tile, 3).transpose(1, 0, 2, 3)
+
+    sup_sq = jnp.sum(support ** 2, axis=-1)  # (B, N)
+
+    def one_tile(qt):  # qt: (B, tile, 3)
+        d2 = (-2.0 * jnp.einsum("bmc,bnc->bmn", qt, support,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+              + jnp.sum(qt ** 2, axis=-1, keepdims=True)
+              + sup_sq[:, None, :])
+        if k > N:
+            # fewer support points than neighbors: pad like the reference
+            # (knnquery_cuda_kernel.cu:88-91 — idx=segment start, dist 1e10)
+            d2 = jnp.pad(d2, ((0, 0), (0, 0), (0, k - N)), constant_values=_INF)
+        neg, idx = lax.top_k(-d2, k)  # ascending distance
+        idx = jnp.where(idx < N, idx, 0)
+        return idx.astype(jnp.int32), -neg
+
+    idx, d2 = lax.map(one_tile, q_tiles)  # (T, B, tile, k)
+    idx = idx.transpose(1, 0, 2, 3).reshape(B, -1, k)[:, :m]
+    d2 = d2.transpose(1, 0, 2, 3).reshape(B, -1, k)[:, :m]
+    return idx, d2
+
+
+def knn_flat(support: jnp.ndarray, query: jnp.ndarray, k: int,
+             tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN over unbatched (N, 3)/(M, 3) clouds (reference packed layout)."""
+    idx, d2 = knn(support[None], query[None], k, tile=tile)
+    return idx[0], d2[0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def ball_query(support: jnp.ndarray, query: jnp.ndarray, radius: float, k: int,
+               tile: int = 2048) -> jnp.ndarray:
+    """Reference-exact ball query (``ball_query_gpu.cu:15-51``).
+
+    Selects the first ``k`` support indices (in index order) with
+    ``d² < radius²``; pads missing slots with the first in-radius index
+    (or index 0 when the ball is empty, matching the zero-initialised
+    reference output).
+
+    Returns idx: (B, M, k) int32.
+    """
+    B, N, _ = support.shape
+    q, m = _pad_queries(query, tile)
+    num_tiles = q.shape[1] // tile
+    q_tiles = q.reshape(B, num_tiles, tile, 3).transpose(1, 0, 2, 3)
+
+    sup_sq = jnp.sum(support ** 2, axis=-1)
+    r2 = radius * radius
+    arange_n = lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+
+    def one_tile(qt):
+        d2 = (-2.0 * jnp.einsum("bmc,bnc->bmn", qt, support,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+              + jnp.sum(qt ** 2, axis=-1, keepdims=True)
+              + sup_sq[:, None, :])
+        inside = d2 < r2
+        # priority = index for in-radius points, N+index otherwise →
+        # top-k smallest priorities = first k in-radius indices, then the
+        # smallest out-of-radius indices as sentinels.
+        priority = jnp.where(inside, arange_n, arange_n + N)
+        priority = jnp.broadcast_to(priority, d2.shape)
+        if k > N:
+            priority = jnp.pad(priority, ((0, 0), (0, 0), (0, k - N)),
+                               constant_values=2 * N)
+        neg_p, _ = lax.top_k(-priority, k)
+        sel = -neg_p  # (B, tile, k) ascending priority
+        valid = sel < N
+        first = sel[..., :1]  # smallest priority = first in-radius idx if any
+        sel = jnp.where(valid, sel, jnp.where(first < N, first, 0))
+        return sel.astype(jnp.int32)
+
+    idx = lax.map(one_tile, q_tiles)
+    return idx.transpose(1, 0, 2, 3).reshape(B, -1, k)[:, :m]
