@@ -1,0 +1,222 @@
+"""Adaptive-margin contrastive loss (ContrastHead) and AEF AmbiguityHead.
+
+↔ ``openpoints/AMContrast3D/MarginContrast.py:15-273``.  The reference gathers
+the data-dependent subset of boundary points (``point_mask_smallai``,
+MarginContrast.py:250-254) before computing the loss; XLA needs fixed shapes,
+so the loss is computed for every point and reduced with a validity weight —
+mathematically identical (mean over the selected subset == masked sum /
+mask count).
+
+All similarity / margin / decision-boundary / supervised-CL variants of the
+reference are implemented and selected by ``ambiguity_args`` exactly as in
+the YAML configs.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import group_points
+from .aef import one_hot_labels, stage_neighborhood, subscene_labels
+
+_EPS = 1e-12  # AEF/function.py:8
+
+
+# --------------------------------------------------------------------------
+# similarity functions (MarginContrast.py:71-108)
+# --------------------------------------------------------------------------
+
+def dist_dot(features, neighbor_feature):
+    return jnp.sum(features[..., None, :] * neighbor_feature, axis=-1) + _EPS
+
+
+def dist_cos(features, neighbor_feature):
+    f = features[..., None, :]
+    num = jnp.sum(f * neighbor_feature, axis=-1)
+    denom = (jnp.linalg.norm(f, axis=-1) *
+             jnp.linalg.norm(neighbor_feature, axis=-1))
+    # torch F.cosine_similarity clamps the denominator at eps=1e-8
+    return num / jnp.maximum(denom, 1e-8)
+
+
+def dist_l2(features, neighbor_feature):
+    d = features[..., None, :] - neighbor_feature
+    return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+
+
+def dist_kl(features, neighbor_feature):
+    """KL(gt=features ‖ pred=neighbors), both log-softmaxed
+    (MarginContrast.py:87-108 with normalized=False)."""
+    logp = jax.nn.log_softmax(features, axis=-1)[..., None, :]
+    logq = jax.nn.log_softmax(neighbor_feature, axis=-1)
+    p = jnp.exp(logp)
+    return jnp.sum(p * (logp - logq), axis=-1)
+
+
+_DIST_FUNCS = {"dist_dot": dist_dot, "dist_cos": dist_cos,
+               "dist_l2": dist_l2, "dist_kl": dist_kl}
+
+
+# --------------------------------------------------------------------------
+# contrast objectives (MarginContrast.py:117-217)
+# --------------------------------------------------------------------------
+
+def contrast_softnn_margin(dist, posmask, ambiguity, args):
+    """Margin-adjusted soft-NN ratio loss (MarginContrast.py:117-174).
+
+    dist/posmask: (..., K); ambiguity: (...,).  Returns per-point loss (...,).
+    """
+    pm = posmask.astype(dist.dtype)
+    margin_mode = args.get("margin", "adaptive")
+    if margin_mode == "constant":
+        margin = args["nu"]
+    elif margin_mode == "adaptive":
+        margin = args["mu"] * ambiguity[..., None] + args["nu"]
+    elif margin_mode == "learned":
+        u = jnp.mean(dist * (1.0 - pm), axis=-1)
+        v = jnp.mean(dist * pm, axis=-1)
+        margin = (u[..., None] - 1.0) * ambiguity[..., None] + v[..., None]
+    else:
+        raise ValueError(f"margin {margin_mode}")
+
+    db = args.get("db", "-m")
+    if db == "-m":
+        dist = (dist - margin) * pm + dist * (1.0 - pm)
+    elif db == "+m":
+        dist = dist * pm + (dist + margin) * (1.0 - pm)
+
+    temperature = args.get("temperature", None)
+    if temperature is not None:
+        dist = dist / temperature
+    exp = jnp.exp(dist)
+
+    pos = jnp.sum(exp * pm, axis=-1)
+    neg = jnp.sum(exp * (1.0 - pm), axis=-1)
+    pos_neg = jnp.sum(exp, axis=-1)
+
+    method = args.get("supervisedCL", "Method1")
+    if method == "Method1":
+        loss = pos / pos_neg + _EPS
+    elif method == "Method2":
+        pos_ij = exp * pm
+        ratio = pos_ij / (pos_ij + neg[..., None]) + _EPS
+        pos_num = jnp.sum(pm, axis=-1) + _EPS
+        loss = jnp.sum(ratio, axis=-1) / pos_num
+    else:
+        raise ValueError(f"supervisedCL {method}")
+    return -jnp.log(loss)
+
+
+def contrast_softnn_temperature(dist, posmask, ambiguity, args):
+    """Dynamic-temperature variant (MarginContrast.py:177-196), for distance
+    (not similarity) metrics."""
+    pm = posmask.astype(dist.dtype)
+    dist = -dist
+    dist = dist - jnp.max(dist, axis=-1, keepdims=True)
+    temperature = args.get("temperature", None)
+    if temperature is not None:
+        dist = dist / (temperature * (1.5 - ambiguity[..., None]))
+    exp = jnp.exp(dist)
+    pos = jnp.sum(exp * pm, axis=-1)
+    neg = jnp.sum(exp, axis=-1)
+    return -jnp.log(pos / neg + _EPS)
+
+
+def contrast_softnn(dist, posmask, temperature=None):
+    """Plain soft-NN contrast (MarginContrast.py:199-217)."""
+    pm = posmask.astype(dist.dtype)
+    dist = -dist
+    dist = dist - jnp.max(dist, axis=-1, keepdims=True)
+    if temperature is not None:
+        dist = dist / temperature
+    exp = jnp.exp(dist)
+    pos = jnp.sum(exp * pm, axis=-1)
+    neg = jnp.sum(exp, axis=-1)
+    return -jnp.log(pos / neg + _EPS)
+
+
+# --------------------------------------------------------------------------
+# per-stage heads
+# --------------------------------------------------------------------------
+
+def point_contrast_margin(p: jnp.ndarray, f: jnp.ndarray,
+                          labels_stage: jnp.ndarray, args: Dict,
+                          dist_func: str = "dist_cos",
+                          contrast_func: str = "contrast_softnn_margin"
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-stage adaptive-margin contrast (MarginContrast.py:220-259).
+
+    p: (B, N_s, 3), f: (B, N_s, C), labels_stage: (B, N_s, ncls).
+    Returns (scalar loss, target ambiguity (B, N_s)).
+    """
+    from ..ops import ambiguity_function  # local import to avoid cycles
+
+    nsample = args["nsample"]
+    idx, posmask, dd = stage_neighborhood(p, labels_stage, nsample)
+    a = ambiguity_function(posmask, dd, args.get("cctype", "Method2"),
+                           args.get("ccbeta", 0.04))
+    a = jax.lax.stop_gradient(a)
+
+    neighbor_feature = group_points(f, idx)  # (B, N_s, K, C)
+    dist = _DIST_FUNCS[dist_func](f, neighbor_feature)
+
+    # boundary + wrong points only: 0 < a ≤ 1 (MarginContrast.py:250)
+    valid = jnp.logical_and(a > 0, a <= 1).astype(dist.dtype)
+
+    if contrast_func == "contrast_softnn_margin":
+        per_point = contrast_softnn_margin(dist, posmask, a, args)
+    elif contrast_func == "contrast_softnn_temperature":
+        per_point = contrast_softnn_temperature(dist, posmask, a, args)
+    elif contrast_func == "contrast_softnn":
+        per_point = contrast_softnn(dist, posmask, args.get("temperature"))
+    else:
+        raise ValueError(contrast_func)
+
+    loss = jnp.sum(per_point * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return loss, a
+
+
+def contrast_head(up_stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                  target: jnp.ndarray, num_classes: int,
+                  ignore_index: Optional[int], args: Dict
+                  ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """ContrastHead.forward (MarginContrast.py:262-273): sum the per-stage
+    losses over ``stages_num`` decoder stages.
+
+    up_stages: [(p_s (B,N_s,3), f_s (B,N_s,C))] ordered stage 0 (full res)
+    → stage 3; stage 0 positions double as the kNN label-propagation source.
+    """
+    labels0 = one_hot_labels(target, num_classes, ignore_index)
+    p0 = up_stages[0][0]
+    loss_sum = 0.0
+    target_ai_list: List[jnp.ndarray] = []
+    for i in range(int(args.get("stages_num", 4))):
+        p, f = up_stages[i]
+        labels = subscene_labels(labels0, p0, p, i)
+        loss, a = point_contrast_margin(p, f, labels, args)
+        loss_sum = loss_sum + loss
+        target_ai_list.append(a)
+    return loss_sum, target_ai_list
+
+
+def ambiguity_head(up_stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+                   target: jnp.ndarray, num_classes: int,
+                   ignore_index: Optional[int], args: Dict
+                   ) -> List[jnp.ndarray]:
+    """AmbiguityHead.forward (MarginContrast.py:15-52): GT ambiguity per
+    stage, no loss."""
+    from .aef import stage_ambiguity
+
+    labels0 = one_hot_labels(target, num_classes, ignore_index)
+    p0 = up_stages[0][0]
+    out = []
+    for i in range(int(args.get("stages_num", 4))):
+        p, _ = up_stages[i]
+        labels = subscene_labels(labels0, p0, p, i)
+        a, _, _ = stage_ambiguity(p, labels, args["nsample"],
+                                  args.get("cctype", "Method2"),
+                                  args.get("ccbeta", 0.04))
+        out.append(a)
+    return out

@@ -1,0 +1,504 @@
+"""PointNeXt encoder / decoder / segmentation head (Flax, channels-last).
+
+↔ ``openpoints/models/backbone/pointnext.py`` (the AMContrast3D variants
+``pointnext_AA.py`` / ``pointnext_MM.py`` share these blocks; the extra
+stage bookkeeping lives in :mod:`amcontrast3d_tpu.models.base_seg`).
+
+TPU-first layout: positions (B, N, 3), features (B, N, C), grouped
+neighborhoods (B, M, K, C).  Every 1×1 conv is a Dense on the trailing axis
+(MXU); grouping/sampling are the fixed-shape ops from
+:mod:`amcontrast3d_tpu.ops`; per-stage point counts are static
+(``N_i = N_{i-1} // stride``, mirroring ``p.shape[1] // self.stride`` in
+``pointnext.py:146``), so the whole encoder-decoder traces into one XLA graph
+with zero dynamic shapes.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import (CHANNEL_MAP, create_grouper, furthest_point_sample,
+                   gather_points, get_aggregation_features, group_points,
+                   random_sample, three_interpolation)
+from .layers import ConvBlock, MLPBlocks, create_act
+
+
+def to_full_list(param, blocks: Sequence[int], strides: Sequence[int],
+                 param_scaling: float = 1) -> List[List]:
+    """Expand a scalar/partial radius or nsample spec into per-block lists
+    (↔ ``PointNextEncoder._to_full_list``, pointnext.py:389-407)."""
+    param_list: List[List] = []
+    if isinstance(param, (list, tuple)):
+        for i, value in enumerate(param):
+            value = [value] if not isinstance(value, (list, tuple)) else list(value)
+            if len(value) != blocks[i]:
+                value += [value[-1]] * (blocks[i] - len(value))
+            param_list.append(value)
+    else:
+        for i, stride in enumerate(strides):
+            if stride == 1:
+                param_list.append([param] * blocks[i])
+            else:
+                param_list.append([param] + [param * param_scaling] * (blocks[i] - 1))
+                param *= param_scaling
+    return param_list
+
+
+def _pool(reduction: str):
+    reduction = "mean" if reduction.lower() == "avg" else reduction.lower()
+    if reduction == "max":
+        return lambda x: jnp.max(x, axis=-2)
+    if reduction == "mean":
+        return lambda x: jnp.mean(x, axis=-2)
+    if reduction == "sum":
+        return lambda x: jnp.sum(x, axis=-2)
+    raise ValueError(reduction)
+
+
+class LocalAggregation(nn.Module):
+    """Group → per-neighbor MLP → pool (↔ pointnext.py:27-78)."""
+    channels: Sequence[int]
+    norm_args: Any = None
+    act_args: Any = None
+    group_args: Any = None
+    conv_args: Any = None
+    feature_type: str = "dp_fj"
+    reduction: str = "max"
+    last_act: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        grouper = create_grouper(self.group_args)
+        dp, fj = grouper(p, p, f)
+        fj = get_aggregation_features(p, dp, f, fj, self.feature_type)
+        order = (self.conv_args or {}).get("order", "conv-norm-act")
+        out_channels = list(self.channels[1:])
+        fj = MLPBlocks(out_channels, norm_args=self.norm_args,
+                       act_args=self.act_args, order=order,
+                       last_act=self.last_act, bn_axis_name=self.bn_axis_name,
+                       dtype=self.dtype)(fj, training=training)
+        return _pool(self.reduction)(fj)
+
+
+class SetAbstraction(nn.Module):
+    """Downsampling set abstraction with optional residual
+    (↔ pointnext.py:81-170)."""
+    in_channels: int
+    out_channels: int
+    layers: int = 1
+    stride: int = 1
+    group_args: Any = None
+    norm_args: Any = None
+    act_args: Any = None
+    conv_args: Any = None
+    sampler: str = "fps"
+    feature_type: str = "dp_fj"
+    use_res: bool = False
+    is_head: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        all_aggr = not self.is_head and self.stride == 1
+        use_res = self.use_res and not all_aggr and not self.is_head
+        order = (self.conv_args or {}).get("order", "conv-norm-act")
+
+        mid = self.out_channels // 2 if self.stride > 1 else self.out_channels
+        channels = [self.in_channels] + [mid] * (self.layers - 1) + [self.out_channels]
+
+        if self.is_head:
+            # stem MLP: no norm, no act (pointnext.py:119-127 with is_head)
+            for ch in channels[1:]:
+                f = ConvBlock(ch, norm_args=None, act_args=None, order=order,
+                              dtype=self.dtype)(f, training=training)
+            return p, f
+
+        if not all_aggr:
+            npoint = p.shape[1] // self.stride
+            if self.sampler.lower() == "fps":
+                idx = furthest_point_sample(p, npoint)
+            else:
+                idx = random_sample(p, npoint, self.make_rng("sampling"))
+            new_p = gather_points(p, idx)
+        else:
+            idx = None
+            new_p = p
+
+        if use_res or "df" in self.feature_type:
+            fi = gather_points(f, idx) if idx is not None else f
+        else:
+            fi = None
+        if use_res:
+            if self.in_channels != channels[-1]:
+                identity = ConvBlock(channels[-1], norm_args=None, act_args=None,
+                                     dtype=self.dtype)(fi, training=training)
+            else:
+                identity = fi
+
+        ga = dict(self.group_args or {})
+        if all_aggr:
+            ga["nsample"] = None
+            ga["radius"] = None
+        grouper = create_grouper(ga)
+        dp, fj = grouper(new_p, p, f)
+        fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
+
+        n_conv = len(channels) - 1
+        for i, ch in enumerate(channels[1:]):
+            last = i == n_conv - 1
+            fj = ConvBlock(ch, norm_args=self.norm_args,
+                           act_args=None if (last and use_res) else self.act_args,
+                           order=order, bn_axis_name=self.bn_axis_name,
+                           dtype=self.dtype)(fj, training=training)
+        f = jnp.max(fj, axis=-2)
+        if use_res:
+            act = create_act(self.act_args)
+            f = act(f + identity)
+        return new_p, f
+
+
+class FeaturePropagation(nn.Module):
+    """3-NN upsampling + MLP (↔ FeaturePropogation, pointnext.py:173-226)."""
+    mlp: Sequence[int]          # [skip + coarse, fp, fp]
+    upsample: bool = True
+    norm_args: Any = None
+    act_args: Any = None
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pf1, pf2=None, training: bool = False):
+        if not self.upsample:
+            _, f = pf1
+            f_global = jnp.mean(f, axis=1)  # (B, C)
+            g = nn.Dense(self.mlp[1], dtype=self.dtype)(f_global)
+            g = nn.relu(g)
+            g = jnp.broadcast_to(g[:, None, :], (f.shape[0], f.shape[1], g.shape[-1]))
+            f = jnp.concatenate([f, g], axis=-1)
+            for ch in self.mlp[2:]:
+                f = ConvBlock(ch, norm_args=self.norm_args, act_args=self.act_args,
+                              bn_axis_name=self.bn_axis_name,
+                              dtype=self.dtype)(f, training=training)
+            return f
+        p1, f1 = pf1
+        p2, f2 = pf2
+        upsampled = three_interpolation(p1, p2, f2)
+        f = jnp.concatenate([f1, upsampled], axis=-1) if f1 is not None else upsampled
+        for ch in self.mlp[1:]:
+            f = ConvBlock(ch, norm_args=self.norm_args, act_args=self.act_args,
+                          bn_axis_name=self.bn_axis_name,
+                          dtype=self.dtype)(f, training=training)
+        return f
+
+
+class InvResMLP(nn.Module):
+    """Inverted-residual MLP block (↔ pointnext.py:229-276)."""
+    in_channels: int
+    norm_args: Any = None
+    act_args: Any = None
+    aggr_args: Any = None
+    group_args: Any = None
+    conv_args: Any = None
+    expansion: int = 1
+    use_res: bool = True
+    num_posconvs: int = 2
+    less_act: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        aggr = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
+        identity = f
+        f = LocalAggregation(
+            [self.in_channels, self.in_channels],
+            norm_args=self.norm_args,
+            act_args=self.act_args if self.num_posconvs > 0 else None,
+            group_args=self.group_args, conv_args=self.conv_args,
+            feature_type=aggr.get("feature_type", "dp_fj"),
+            reduction=aggr.get("reduction", "max"),
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+        )(p, f, training=training)
+        mid = int(self.in_channels * self.expansion)
+        if self.num_posconvs < 1:
+            channels = []
+        elif self.num_posconvs == 1:
+            channels = [self.in_channels]
+        else:
+            channels = [mid, self.in_channels]
+        order = (self.conv_args or {}).get("order", "conv-norm-act")
+        n = len(channels)
+        for i, ch in enumerate(channels):
+            last = i == n - 1
+            f = ConvBlock(ch, norm_args=self.norm_args,
+                          act_args=None if (last and not self.less_act) else self.act_args,
+                          order=order, bn_axis_name=self.bn_axis_name,
+                          dtype=self.dtype)(f, training=training)
+        if f.shape[-1] == identity.shape[-1] and self.use_res:
+            f = f + identity
+        act = create_act(self.act_args)
+        return p, act(f)
+
+
+class ResBlock(nn.Module):
+    """Plain residual local-aggregation block (↔ pointnext.py:279-307)."""
+    in_channels: int
+    norm_args: Any = None
+    act_args: Any = None
+    aggr_args: Any = None
+    group_args: Any = None
+    conv_args: Any = None
+    expansion: int = 1
+    use_res: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, f, training: bool = False):
+        aggr = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
+        identity = f
+        mid = self.in_channels * self.expansion
+        f = LocalAggregation(
+            [self.in_channels, self.in_channels, mid, self.in_channels],
+            norm_args=self.norm_args, act_args=None,
+            group_args=self.group_args, conv_args=self.conv_args,
+            feature_type=aggr.get("feature_type", "dp_fj"),
+            reduction=aggr.get("reduction", "max"),
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+        )(p, f, training=training)
+        if f.shape[-1] == identity.shape[-1] and self.use_res:
+            f = f + identity
+        act = create_act(self.act_args)
+        return p, act(f)
+
+
+_BLOCKS = {"InvResMLP": InvResMLP, "ResBlock": ResBlock}
+
+
+class PointNextEncoder(nn.Module):
+    """↔ ``PointNextEncoder`` (pointnext.py:311-458) and the AA/MM variants'
+    shared encoder body (pointnext_AA.py:312-471)."""
+    in_channels: int = 4
+    width: int = 32
+    blocks: Sequence[int] = (1, 4, 7, 4, 4)
+    strides: Sequence[int] = (1, 4, 4, 4, 4)
+    block: str = "InvResMLP"
+    nsample: Any = 32
+    radius: Any = 0.1
+    aggr_args: Any = None
+    group_args: Any = None
+    sa_layers: int = 1
+    sa_use_res: bool = False
+    norm_args: Any = None
+    act_args: Any = None
+    conv_args: Any = None
+    sampler: str = "fps"
+    expansion: int = 4
+    use_res: bool = True
+    radius_scaling: float = 2
+    nsample_scaling: float = 1
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def channel_list(self) -> List[int]:
+        width = self.width
+        channels = []
+        for stride in self.strides:
+            if stride != 1:
+                width *= 2
+            channels.append(width)
+        return channels
+
+    @property
+    def out_channels(self) -> int:
+        return self.channel_list[-1]
+
+    @nn.compact
+    def __call__(self, p0, f0, training: bool = False
+                 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        """Returns per-stage position / feature lists, index 0 = the input
+        (len = num_stages + 1, like ``forward_seg_feat``, pointnext.py:443-455)."""
+        norm_args = self.norm_args or {"norm": "bn"}
+        act_args = self.act_args or {"act": "relu"}
+        aggr_args = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
+        radii = to_full_list(self.radius, self.blocks, self.strides, self.radius_scaling)
+        nsamples = to_full_list(self.nsample, self.blocks, self.strides, self.nsample_scaling)
+        channels = self.channel_list
+        block_cls = _BLOCKS[self.block] if isinstance(self.block, str) else self.block
+
+        p_list, f_list = [p0], [f0]
+        in_ch = self.in_channels
+        p, f = p0, f0
+        for i in range(len(self.blocks)):
+            is_head = i == 0 and self.strides[i] == 1
+            ga = dict(self.group_args or {"NAME": "ballquery"})
+            ga["radius"] = radii[i][0]
+            ga["nsample"] = nsamples[i][0]
+            p, f = SetAbstraction(
+                in_channels=in_ch, out_channels=channels[i],
+                layers=self.sa_layers if not is_head else 1,
+                stride=self.strides[i], group_args=ga,
+                norm_args=norm_args, act_args=act_args, conv_args=self.conv_args,
+                sampler=self.sampler, use_res=self.sa_use_res, is_head=is_head,
+                feature_type=aggr_args.get("feature_type", "dp_fj"),
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                name=f"enc{i}_sa",
+            )(p, f, training=training)
+            in_ch = channels[i]
+            for j in range(1, self.blocks[i]):
+                gaj = dict(self.group_args or {"NAME": "ballquery"})
+                gaj["radius"] = radii[i][j]
+                gaj["nsample"] = nsamples[i][j]
+                p, f = block_cls(
+                    in_channels=in_ch, aggr_args=aggr_args,
+                    norm_args=norm_args, act_args=act_args, group_args=gaj,
+                    conv_args=self.conv_args, expansion=self.expansion,
+                    use_res=self.use_res, bn_axis_name=self.bn_axis_name,
+                    dtype=self.dtype, name=f"enc{i}_block{j}",
+                )(p, f, training=training)
+            p_list.append(p)
+            f_list.append(f)
+        return p_list, f_list
+
+
+class PointNextDecoder(nn.Module):
+    """↔ ``PointNextDecoder`` (pointnext.py:462-498).
+
+    Returns the full-resolution feature map plus the refreshed per-stage
+    decoder features (the ``stageACE_list['up'][i]['f_out']`` refresh of
+    ``pointnext_AA.py:508-522``) — index s corresponds to encoder stage s+1.
+
+    With ``refine=True`` the AMContrast3D++ masked refinement runs after each
+    FP stage (↔ ``PointNextDecoder_M_AMContrast3D.forward_then_AMContrast3D``,
+    pointnext_MM.py:519-566): the 'up' feature is recorded *pre*-refine (it
+    feeds the contrastive objective) while the refined feature propagates to
+    the next FP stage; ``a_list`` supplies per-stage ambiguity (APM or AEF).
+    """
+    encoder_channel_list: Sequence[int]
+    decoder_layers: int = 2
+    decoder_stages: int = 4
+    in_channels_input: int = 3
+    norm_args: Any = None
+    act_args: Any = None
+    refine: bool = False
+    refine_mapping: bool = False
+    refine_attention: bool = False
+    nsample_k: int = 12
+    fusion: str = "MIN"
+    threshold: float = 0.7
+    threshold_max: float = 1.0
+    gamma: float = 0.5
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return list(self.encoder_channel_list)[: self.decoder_stages][0]
+
+    @nn.compact
+    def __call__(self, p: List[jnp.ndarray], f: List[jnp.ndarray],
+                 a_list: Optional[List[jnp.ndarray]] = None,
+                 a_map_list: Optional[List[jnp.ndarray]] = None,
+                 training: bool = False):
+        ecl = list(self.encoder_channel_list)
+        skip_channels = ecl[:-1]
+        if len(skip_channels) < self.decoder_stages:
+            skip_channels.insert(0, self.in_channels_input)
+        fp_channels = ecl[: self.decoder_stages]
+        norm_args = self.norm_args or {"norm": "bn"}
+        act_args = self.act_args or {"act": "relu"}
+
+        n = self.decoder_stages
+        f = list(f)
+        in_ch = ecl[-1]
+        # build stage channel spec in reference order (-1 … -n)
+        mlps = {}
+        for i in range(-1, -n - 1, -1):
+            mlps[i] = [skip_channels[i] + in_ch] + [fp_channels[i]] * self.decoder_layers
+            in_ch = fp_channels[i]
+        up_features: List[jnp.ndarray] = [None] * n
+        refine_rates = []
+        for i in range(-1, -n - 1, -1):
+            f[i - 1] = FeaturePropagation(
+                mlps[i], norm_args=norm_args, act_args=act_args,
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                name=f"fp{n + i}",
+            )([p[i - 1], f[i - 1]], [p[i], f[i]], training=training)
+            up_features[i] = f[i - 1]
+            if self.refine and a_list is not None:
+                from .refine import dual_masks, map_sum
+                if self.refine_mapping:
+                    # Map* variants consume the APM's lifted ambiguity map
+                    # (MaskedRefine.py:22-43); the attention variant is a
+                    # trained cross-attention here (the reference instantiates
+                    # an untrained layer per forward — documented deviation).
+                    if self.refine_attention:
+                        from .apm import Attention
+                        d = f[i - 1].shape[-1]
+                        f[i - 1] = Attention(d, d, d, dtype=self.dtype,
+                                             name=f"refine_att{n + i}")(
+                            a_map_list[i], f[i - 1])
+                    else:
+                        f[i - 1] = map_sum(f[i - 1], a_map_list[i])
+                else:
+                    f[i - 1], rate = dual_masks(
+                        p[i - 1], f[i - 1], a_list[i], self.nsample_k,
+                        self.fusion, self.threshold, self.threshold_max,
+                        self.gamma)
+                    refine_rates.append(rate)
+        if self.refine and refine_rates:
+            avg_rate = jnp.mean(jnp.stack(refine_rates))
+        else:
+            avg_rate = jnp.zeros(())
+        return f[-n - 1], up_features, avg_rate
+
+
+class SegHead(nn.Module):
+    """Scene segmentation head (↔ ``SegHead``, base_seg.py:207-267)."""
+    num_classes: int
+    in_channels: int
+    mlps: Any = None
+    norm_args: Any = None
+    act_args: Any = None
+    dropout: float = 0.5
+    global_feat: Optional[str] = None
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f, training: bool = False):
+        norm_args = self.norm_args or {"norm": "bn1d"}
+        act_args = self.act_args or {"act": "relu"}
+        in_ch = self.in_channels
+        if self.global_feat is not None:
+            feats = [f]
+            for ft in self.global_feat.split(","):
+                if "max" in ft:
+                    g = jnp.max(f, axis=1, keepdims=True)
+                elif ft in ("avg", "mean"):
+                    g = jnp.mean(f, axis=1, keepdims=True)
+                else:
+                    raise ValueError(ft)
+                feats.append(jnp.broadcast_to(g, f.shape))
+            f = jnp.concatenate(feats, axis=-1)
+            in_ch = f.shape[-1]
+        if self.mlps is None:
+            mlps = [in_ch, in_ch, self.num_classes]
+        else:
+            m = self.mlps if isinstance(self.mlps, (list, tuple)) else [self.mlps]
+            mlps = [in_ch] + list(m) + [self.num_classes]
+        for ch in mlps[1:-1]:
+            f = ConvBlock(ch, norm_args=norm_args, act_args=act_args,
+                          bn_axis_name=self.bn_axis_name,
+                          dtype=self.dtype)(f, training=training)
+            if self.dropout:
+                f = nn.Dropout(self.dropout, deterministic=not training)(f)
+        logits = ConvBlock(mlps[-1], norm_args=None, act_args=None,
+                           dtype=self.dtype)(f, training=training)
+        return logits

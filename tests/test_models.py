@@ -1,0 +1,117 @@
+"""Model forward tests on tiny clouds (shape/structure regression).
+
+Config mirrors cfgs/s3dis/AMContrast3D-AA.yaml scaled down (width 8, tiny N)
+so CPU tests stay fast while exercising every block type.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcontrast3d_tpu.models import (MODELS, BaseSeg, BaseSeg_AMContrast3D,
+                                     BaseSeg_M_AMContrast3D,
+                                     build_model_from_cfg)
+
+B, N, NCLS = 2, 512, 13
+
+ENCODER_ARGS = dict(
+    NAME="PointNextEncoder_AMContrast3D",
+    blocks=[1, 2, 2, 2, 2],
+    strides=[1, 4, 4, 4, 4],
+    sa_layers=1,
+    sa_use_res=False,
+    width=8,
+    in_channels=4,
+    expansion=4,
+    radius=0.3,
+    nsample=8,
+    aggr_args={"feature_type": "dp_fj", "reduction": "max"},
+    group_args={"NAME": "ballquery", "normalize_dp": True},
+    conv_args={"order": "conv-norm-act"},
+    act_args={"act": "relu"},
+    norm_args={"norm": "bn"},
+)
+CLS_ARGS = dict(NAME="SegHead", num_classes=NCLS, in_channels=None,
+                norm_args={"norm": "bn"})
+APM_ARGS = dict(NAME="APM_pf_ConCate", feature_dim=[8, 16, 32, 64],
+                linear_mapping=False, cross_attention=False, feat_concate=False,
+                channel=[16, 8, 4, 2, 2], dropout=[0, 0, 0, 0, 0],
+                nsample_k=6, threshold=0.9, threshold_max=1.0, gamma=1,
+                fusion="MIN", att_dim=3)
+
+
+def _data(rng):
+    pos = jnp.array(rng.rand(B, N, 3).astype(np.float32) * 2)
+    feats = jnp.array(rng.rand(B, N, 4).astype(np.float32))
+    return pos, feats
+
+
+def test_base_seg_forward(rng):
+    model = BaseSeg(encoder_args=ENCODER_ARGS, decoder_args={"NAME": "PointNextDecoder"},
+                    cls_args=CLS_ARGS)
+    pos, feats = _data(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pos, feats, training=False)
+    logits = model.apply(variables, pos, feats, training=False)
+    assert logits.shape == (B, N, NCLS)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_channel_list():
+    model = BaseSeg(encoder_args=ENCODER_ARGS, decoder_args={}, cls_args=CLS_ARGS)
+    # width 8, strides [1,4,4,4,4] → [8, 16, 32, 64, 128]
+    enc = MODELS.get("PointNextEncoder")(**{k: v for k, v in ENCODER_ARGS.items() if k != "NAME"})
+    assert enc.channel_list == [8, 16, 32, 64, 128]
+
+
+def test_aa_stage_shapes(rng):
+    model = BaseSeg_AMContrast3D(encoder_args=ENCODER_ARGS,
+                                 decoder_args={"NAME": "PointNextDecoder_AMContrast3D"},
+                                 cls_args=CLS_ARGS)
+    pos, feats = _data(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pos, feats, training=False)
+    logits, stages = model.apply(variables, pos, feats, training=False)
+    assert logits.shape == (B, N, NCLS)
+    ns = [N, N // 4, N // 16, N // 64]
+    cs = [8, 16, 32, 64]
+    for s in range(4):
+        assert stages["p"][s].shape == (B, ns[s], 3)
+        assert stages["f_down"][s].shape == (B, ns[s], cs[s])
+        assert stages["f_up"][s].shape == (B, ns[s], cs[s])
+
+
+def test_mm_forward_with_refinement(rng):
+    model = BaseSeg_M_AMContrast3D(
+        encoder_args=ENCODER_ARGS,
+        decoder_args={"NAME": "PointNextDecoder_M_AMContrast3D"},
+        cls_args=CLS_ARGS, APM_args=APM_ARGS, AEF_args={})
+    pos, feats = _data(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pos, feats, training=False)
+    logits, stages, rate = model.apply(variables, pos, feats, training=False)
+    assert logits.shape == (B, N, NCLS)
+    assert len(stages["ambiguity"]) == 4
+    for s, ns in enumerate([N, N // 4, N // 16, N // 64]):
+        assert stages["ambiguity"][s].shape == (B, ns)
+        a = np.asarray(stages["ambiguity"][s])
+        assert np.all((a >= 0) & (a <= 1))
+    assert 0.0 <= float(rate) <= 100.0
+
+
+def test_train_mode_updates_batch_stats(rng):
+    model = BaseSeg(encoder_args=ENCODER_ARGS, decoder_args={}, cls_args=CLS_ARGS)
+    pos, feats = _data(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pos, feats, training=False)
+    logits, mutated = model.apply(
+        variables, pos, feats, training=True,
+        rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    # running stats moved away from init
+    leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_build_from_registry():
+    cfg = {"NAME": "BaseSeg_AMContrast3D", "encoder_args": ENCODER_ARGS,
+           "decoder_args": {"NAME": "PointNextDecoder_AMContrast3D"},
+           "cls_args": CLS_ARGS}
+    model = build_model_from_cfg(cfg)
+    assert isinstance(model, BaseSeg_AMContrast3D)
