@@ -1,0 +1,123 @@
+"""End-to-end train-step tests: single device and 8-device CPU mesh.
+
+These are the tiny-cloud regression tests SURVEY.md §4 calls for — a few
+optimization steps must run, reduce the loss, and keep every tensor finite,
+for each model family ('base', 'aa', 'mm'), plus the sharded data-parallel
+variant on the virtual mesh (the fake-backend analog the reference lacks).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcontrast3d_tpu.engine import (build_tx, create_train_state,
+                                     make_eval_step, make_sharded_eval_step,
+                                     make_sharded_train_step, make_train_step)
+from amcontrast3d_tpu.loss import (CrossEntropy, CrossEntropyAce,
+                                   CrossEntropyAcePre)
+from amcontrast3d_tpu.models import (BaseSeg, BaseSeg_AMContrast3D,
+                                     BaseSeg_M_AMContrast3D)
+from amcontrast3d_tpu.parallel import get_mesh, replicate, shard_batch
+from amcontrast3d_tpu.scheduler import as_step_schedule, build_scheduler_from_cfg
+
+from test_models import APM_ARGS, CLS_ARGS, ENCODER_ARGS
+
+NCLS = 13
+
+
+def _batch(rng, b=2, n=512):
+    pos = rng.rand(b, n, 3).astype(np.float32) * 2
+    x = rng.rand(b, n, 4).astype(np.float32)
+    # labels correlated with geometry so learning is possible
+    y = (pos[..., 0] > 1.0).astype(np.int64) + (pos[..., 1] > 1.0).astype(np.int64)
+    return {"pos": jnp.array(pos), "x": jnp.array(x), "y": jnp.array(y)}
+
+
+AARGS = dict(nsample=8, ccbeta=0.04, cctype="Method2", temperature=0.3,
+             supervisedCL="Method1", db="-m", margin="adaptive", mu=-1,
+             nu=0.5, w1=0.1, w2=0.9, w3=0.01, stages="up", stages_num=4)
+
+
+def _tx():
+    lr_fn, _ = build_scheduler_from_cfg({"sched": "cosine", "epochs": 10,
+                                         "lr": 0.01, "min_lr": 1e-5})
+    return build_tx({"NAME": "adamw", "weight_decay": 1e-4},
+                    as_step_schedule(lr_fn, steps_per_epoch=5),
+                    grad_norm_clip=10.0)
+
+
+@pytest.mark.parametrize("kind", ["base", "aa", "mm"])
+def test_train_step_reduces_loss(rng, kind):
+    if kind == "base":
+        model = BaseSeg(encoder_args=ENCODER_ARGS, decoder_args={}, cls_args=CLS_ARGS)
+        criterion = CrossEntropy(label_smoothing=0.2)
+    elif kind == "aa":
+        model = BaseSeg_AMContrast3D(encoder_args=ENCODER_ARGS,
+                                     decoder_args={}, cls_args=CLS_ARGS)
+        criterion = CrossEntropyAce()
+    else:
+        model = BaseSeg_M_AMContrast3D(encoder_args=ENCODER_ARGS,
+                                       decoder_args={}, cls_args=CLS_ARGS,
+                                       APM_args=APM_ARGS, AEF_args=AARGS)
+        criterion = CrossEntropyAcePre()
+    batch = _batch(rng)
+    tx = _tx()
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, criterion, tx, kind, NCLS,
+                                   None, AARGS))
+    rngk = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch, rngk)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    if kind == "mm":
+        for k in ("loss_seg", "loss_ce", "loss_contrast", "loss_reg",
+                  "refine_rate"):
+            assert np.isfinite(float(metrics[k]))
+    # eval path
+    ev = jax.jit(make_eval_step(model, kind, NCLS))
+    out = ev(state, batch)
+    assert out["cm"].shape == (NCLS, NCLS)
+    assert int(out["cm"].sum()) == batch["y"].size
+
+
+def test_sharded_train_step_matches_dp_semantics(rng):
+    """8-way data parallel on the CPU mesh: runs, reduces loss, and keeps
+    params replicated-identical (grad pmean ≡ DDP allreduce)."""
+    assert len(jax.devices()) == 8
+    mesh = get_mesh(8)
+    # shallow 3-stage encoder so a 128-point per-shard cloud never hits a
+    # zero-size stage (128 → 32 → 8)
+    enc_args = dict(ENCODER_ARGS, blocks=[1, 1, 1], strides=[1, 4, 4])
+    aargs = dict(AARGS, stages_num=2)
+    model = BaseSeg_AMContrast3D(encoder_args=enc_args,
+                                 decoder_args={"decoder_stages": 2},
+                                 cls_args=CLS_ARGS, bn_axis_name="dp")
+    criterion = CrossEntropyAce()
+    batch = _batch(rng, b=8, n=128)
+    tx = _tx()
+
+    # init on one shard's worth, then replicate
+    local = {k: v[:1] for k, v in batch.items()}
+    state = create_train_state(model, tx, local, jax.random.PRNGKey(0))
+    state = replicate(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+
+    step = make_sharded_train_step(
+        make_train_step(model, criterion, tx, "aa", NCLS, None, aargs,
+                        axis_name="dp"), mesh)
+    rngk = replicate(jax.random.PRNGKey(1), mesh)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, sbatch, rngk)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(metrics["cm"].sum()) == batch["y"].size  # psum over shards
+
+    ev = make_sharded_eval_step(make_eval_step(model, "aa", NCLS,
+                                               axis_name="dp"), mesh)
+    out = ev(state, sbatch)
+    assert out["logits"].shape == (8, 128, NCLS)
+    assert int(out["cm"].sum()) == batch["y"].size
