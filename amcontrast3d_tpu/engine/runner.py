@@ -1,0 +1,213 @@
+"""End-to-end training / validation / testing runner.
+
+Host-side orchestration around the jitted steps in :mod:`engine.train` —
+the TPU-native equivalent of ``examples/segmentation/main_AA.py:119-316``
+(epoch loop, val-frequency checkpointing with latest/best semantics, resume,
+final test).  One runner serves all three trainers ('base' ↔ main.py,
+'aa' ↔ main_AA.py, 'mm' ↔ main_MM.py).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import build_dataloader_from_cfg, get_features_by_keys
+from ..loss import build_criterion_from_cfg
+from ..models import build_model_from_cfg
+from ..parallel import get_mesh, replicate, shard_batch
+from ..scheduler import as_step_schedule, build_scheduler_from_cfg
+from ..utils import (AverageMeter, ConfusionMatrix, load_checkpoint,
+                     resume_checkpoint, save_checkpoint, set_random_seed)
+from ..data.data_util import bucket_size, pad_cloud
+from .train import (build_tx, create_train_state, make_eval_step,
+                    make_sharded_eval_step, make_sharded_train_step,
+                    make_train_step)
+
+KIND_TO_CRITERION_KEY = {"base": "criterion_args",
+                         "aa": "criterion_args_Ace",
+                         "mm": "criterion_args_AcePre"}
+
+
+def _prep_batch(data: Dict[str, np.ndarray], cfg) -> Dict[str, np.ndarray]:
+    return {
+        "pos": np.asarray(data["pos"], np.float32),
+        "x": np.asarray(get_features_by_keys(data, cfg.feature_keys), np.float32),
+        "y": np.asarray(data["y"], np.int64),
+    }
+
+
+class Runner:
+    def __init__(self, cfg, kind: str = "aa"):
+        self.cfg = cfg
+        self.kind = kind
+        self.rng = set_random_seed(cfg.get("seed") or 0)
+
+        n_dev = len(jax.devices())
+        self.distributed = bool(cfg.get("distributed", n_dev > 1)) and n_dev > 1
+        self.mesh = get_mesh() if self.distributed else None
+        bn_axis = "dp" if self.distributed else None
+
+        dtype = jnp.bfloat16 if cfg.get("use_amp", False) else jnp.float32
+        model_cfg = dict(cfg.model)
+        self.model = build_model_from_cfg(model_cfg, bn_axis_name=bn_axis,
+                                          dtype=dtype)
+        crit_cfg = cfg.get(KIND_TO_CRITERION_KEY[kind]) or {"NAME": "CrossEntropy"}
+        self.criterion = build_criterion_from_cfg(crit_cfg)
+
+        self.num_classes = int(cfg.num_classes)
+        self.ignore_index = cfg.get("ignore_index", None)
+        self.ambiguity_args = dict(cfg.get("ambiguity_args", {}) or {})
+
+        lr_fn, self.epochs = build_scheduler_from_cfg(cfg)
+        self.lr_fn = lr_fn
+        self._tx = None
+        self._steps = {}
+
+    # ------------------------------------------------------------------
+    def build_state(self, example_batch):
+        steps_per_epoch = self.cfg.get("steps_per_epoch", 1)
+        sched = as_step_schedule(self.lr_fn, steps_per_epoch,
+                                 start_epoch=self.cfg.get("start_epoch", 1))
+        self._tx = build_tx(self.cfg.get("optimizer", {"NAME": "adamw"}),
+                            sched, self.cfg.get("grad_norm_clip"))
+        state = create_train_state(self.model, self._tx, example_batch,
+                                   self.rng)
+        if self.distributed:
+            state = replicate(state, self.mesh)
+        return state
+
+    def train_step_fn(self):
+        if "train" not in self._steps:
+            fn = make_train_step(self.model, self.criterion, self._tx,
+                                 self.kind, self.num_classes,
+                                 self.ignore_index, self.ambiguity_args,
+                                 axis_name="dp" if self.distributed else None)
+            if self.distributed:
+                fn = make_sharded_train_step(fn, self.mesh)
+            else:
+                fn = jax.jit(fn, donate_argnums=(0,))
+            self._steps["train"] = fn
+        return self._steps["train"]
+
+    def eval_step_fn(self, sharded: bool = False):
+        key = ("eval", sharded)
+        if key not in self._steps:
+            fn = make_eval_step(self.model, self.kind, self.num_classes,
+                                self.ignore_index,
+                                axis_name="dp" if sharded else None)
+            if sharded:
+                fn = make_sharded_eval_step(fn, self.mesh)
+            else:
+                fn = jax.jit(fn)
+            self._steps[key] = fn
+        return self._steps[key]
+
+    def put_batch(self, batch):
+        if self.distributed:
+            return shard_batch(batch, self.mesh)
+        return jax.device_put(batch)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        train_loader = build_dataloader_from_cfg(
+            cfg.batch_size, cfg.dataset, cfg.get("dataloader"),
+            cfg.get("datatransforms"), split="train",
+            seed=cfg.get("seed") or 0)
+        val_loader = build_dataloader_from_cfg(
+            cfg.get("val_batch_size", 1), cfg.dataset, cfg.get("dataloader"),
+            cfg.get("datatransforms"), split="val",
+            seed=cfg.get("seed") or 0)
+        cfg.steps_per_epoch = max(len(train_loader), 1)
+
+        first = _prep_batch(next(iter(train_loader)), cfg)
+        state = self.build_state(first)
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree_util.tree_leaves(state.params))
+        logging.info("Number of params: %.4f M", n_params / 1e6)
+
+        start_epoch = cfg.get("start_epoch", 1)
+        if cfg.get("mode") == "resume" and cfg.get("pretrained_path"):
+            restored, _ = resume_checkpoint(cfg, {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state})
+            state = state.replace(params=restored["params"],
+                                  batch_stats=restored["batch_stats"],
+                                  opt_state=restored["opt_state"])
+            start_epoch = cfg.start_epoch
+
+        step = self.train_step_fn()
+        rngk = jax.random.PRNGKey((cfg.get("seed") or 0) + 1)
+        if self.distributed:
+            rngk = replicate(rngk, self.mesh)
+
+        best_val, best_epoch = 0.0, 0
+        val_miou = val_macc = val_oa = 0.0
+        for epoch in range(start_epoch, self.epochs + 1):
+            train_loader.set_epoch(epoch)
+            t0 = time.time()
+            loss_meter = AverageMeter()
+            cm = ConfusionMatrix(self.num_classes, self.ignore_index)
+            extra_meters: Dict[str, AverageMeter] = {}
+            for data in train_loader:
+                batch = self.put_batch(_prep_batch(data, cfg))
+                state, metrics = step(state, batch, rngk)
+                loss_meter.update(float(metrics["loss"]))
+                cm.update_matrix(metrics["cm"])
+                for k, v in metrics.items():
+                    if k.startswith("loss_") or k == "refine_rate":
+                        extra_meters.setdefault(k, AverageMeter()).update(float(v))
+            miou, macc, oa, _, _ = cm.all_metrics()
+            lr = float(self.lr_fn(epoch))
+            extras = " ".join(f"{k} {m.avg:.4f}" for k, m in extra_meters.items())
+            logging.info(
+                "Epoch %d LR %.6f loss %.4f train_miou %.2f train_oa %.2f "
+                "(%.1fs) %s", epoch, lr, loss_meter.avg, miou, oa,
+                time.time() - t0, extras)
+
+            is_best = False
+            if epoch % cfg.get("val_freq", 1) == 0:
+                val_miou, val_macc, val_oa, _, _ = self.validate(state, val_loader)
+                if val_miou > best_val:
+                    is_best, best_val, best_epoch = True, val_miou, epoch
+                logging.info("Epoch %d val_miou %.2f (best %.2f @E%d)",
+                             epoch, val_miou, best_val, best_epoch)
+            if cfg.get("ckpt_dir"):
+                save_checkpoint(cfg, {"params": state.params,
+                                      "batch_stats": state.batch_stats,
+                                      "opt_state": state.opt_state},
+                                epoch, additioanl_dict={"best_val": best_val},
+                                is_best=is_best)
+        return state, {"best_val": best_val, "best_epoch": best_epoch,
+                       "val_miou": val_miou, "val_macc": val_macc,
+                       "val_oa": val_oa}
+
+    # ------------------------------------------------------------------
+    def validate(self, state, val_loader):
+        """Whole-cloud validation with bucket padding (↔ validate,
+        main_AA.py:431-513).  Padded duplicate points are sliced off on the
+        host before the confusion-matrix update."""
+        cfg = self.cfg
+        eval_fn = self.eval_step_fn()
+        cm = ConfusionMatrix(self.num_classes, self.ignore_index)
+        for data in val_loader:
+            batch = _prep_batch(data, cfg)
+            b, n = batch["y"].shape
+            nb = bucket_size(n, cfg.get("eval_bucket", 8192))
+            if nb != n:
+                padded = []
+                for i in range(b):
+                    sample = {k: v[i] for k, v in batch.items()}
+                    padded.append(pad_cloud(sample, nb))
+                batch = {k: np.stack([p[k] for p in padded]) for k in
+                         ("pos", "x", "y")}
+            out = eval_fn(state, jax.device_put(batch))
+            logits = np.asarray(out["logits"])[:, :n]
+            pred = logits.argmax(-1)
+            cm.update(pred, np.asarray(batch["y"])[:, :n])
+        return cm.all_metrics()
