@@ -82,6 +82,17 @@ def main_cli(kind: str, argv=None):
                  "opt_state": state.opt_state}, cfg.pretrained_path)
             state = state.replace(params=restored["params"],
                                   batch_stats=restored["batch_stats"])
+        if mode == "test":
+            # whole-scene voting test (↔ test_boundary_inner, main_AA.py:516)
+            from .evaluate import generate_data_list, test_whole_scenes
+            data_list = generate_data_list(cfg)
+            results = test_whole_scenes(runner, state, data_list, cfg)
+            logging.info("test: mIoU %.2f mACC %.2f OA %.2f",
+                         results["miou"], results["macc"], results["oa"])
+            if "boundary" in results:
+                logging.info("boundary mIoU/mACC/OA: %s", results["boundary"])
+                logging.info("inner mIoU/mACC/OA: %s", results["inner"])
+            return results
         miou, macc, oa, ious, accs = runner.validate(state, loader)
         logging.info("%s: mIoU %.2f mACC %.2f OA %.2f", mode, miou, macc, oa)
         return {"miou": miou, "macc": macc, "oa": oa}

@@ -1,0 +1,260 @@
+"""Whole-scene voting test + boundary/inner + ambiguity-stratified metrics.
+
+↔ ``examples/segmentation/main_AA.py:516-802`` (``test_boundary_inner``) and
+``openpoints/AMContrast3D/metrics.py`` (``posmask_searching``,
+``ambiguity_metrics``).
+
+Pipeline per cloud (multi_voxel mode): voxelize(mode=1) → one subcloud per
+voxel rank (each picks point ``i % count`` of every voxel) → per-subcloud
+forward (bucket-padded for fixed shapes) → concatenate → scatter-MEAN the
+logits back onto original points → argmax → confusion matrices.
+
+Reference quirk reproduced: the boundary mask is
+``0 < Σ posmask < nsample`` (main_AA.py:631-633) where Σ posmask ≤ nsample−1,
+i.e. "has at least one same-label neighbor".
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.data_util import bucket_size, get_features_by_keys, pad_cloud, voxelize
+from ..loss.aef import one_hot_labels
+from ..ops import ambiguity_function, group_points, knn
+from ..transforms import build_transforms_from_cfg
+from ..utils import ConfusionMatrix, get_mious
+
+
+def generate_data_list(cfg) -> List:
+    """↔ main_AA.py:52-68."""
+    name = cfg.dataset.common.NAME.lower()
+    if "s3dis" in name:
+        raw_root = os.path.join(cfg.dataset.common.data_root, "raw")
+        data_list = sorted(os.listdir(raw_root))
+        return [os.path.join(raw_root, item) for item in data_list
+                if f"Area_{cfg.dataset.common.test_area}" in item]
+    if "scannet" in name:
+        return sorted(glob.glob(os.path.join(
+            cfg.dataset.common.data_root, cfg.dataset.test.split, "*.pth")))
+    if "synthetic" in name:
+        from ..data.synthetic import Synthetic
+        ds = Synthetic(**{**dict(cfg.dataset.common),
+                          **dict(cfg.dataset.get("test", {})),
+                          "transform": None})
+        return list(range(len(ds.rooms)))
+    raise ValueError(f"dataset {name} not supported for whole-scene test")
+
+
+def load_data(data_path, cfg):
+    """↔ main_AA.py:74-116 (multi_voxel / nearest_neighbor subcloud split)."""
+    name = cfg.dataset.common.NAME.lower()
+    label, feat = None, None
+    if "s3dis" in name:
+        data = np.load(data_path)  # xyzrgbl
+        coord, feat, label = data[:, :3], data[:, 3:6], data[:, 6]
+        feat = np.clip(feat / 255.0, 0, 1).astype(np.float32)
+    elif "scannet" in name:
+        import torch
+        data = torch.load(data_path, weights_only=False)
+        coord, feat = np.asarray(data[0]), np.asarray(data[1])
+        label = np.asarray(data[2]) if cfg.dataset.test.split != "test" else None
+        feat = np.clip((feat + 1) / 2.0, 0, 1).astype(np.float32)
+    elif "synthetic" in name:
+        from ..data.synthetic import Synthetic
+        ds = Synthetic(**{**dict(cfg.dataset.common),
+                          **dict(cfg.dataset.get("test", {})),
+                          "transform": None})
+        coord, color, label = ds.rooms[int(data_path)]
+        coord, feat = coord.copy(), color.copy()
+    else:
+        raise ValueError(name)
+    coord -= coord.min(0)
+
+    idx_points = []
+    voxel_idx, reverse_idx_part, reverse_idx_sort = None, None, None
+    voxel_size = cfg.dataset.common.get("voxel_size", None)
+    if voxel_size is not None:
+        idx_sort, voxel_idx, count = voxelize(coord, voxel_size, mode=1)
+        if cfg.get("test_mode", "multi_voxel") == "nearest_neighbor":
+            idx_select = (np.cumsum(np.insert(count, 0, 0)[0:-1]) +
+                          np.random.randint(0, count.max(), count.size) % count)
+            idx_part = idx_sort[idx_select]
+            npoints_subcloud = voxel_idx.max() + 1
+            idx_shuffle = np.random.permutation(npoints_subcloud)
+            idx_part = idx_part[idx_shuffle]
+            reverse_idx_part = np.argsort(idx_shuffle, axis=0)
+            idx_points.append(idx_part)
+            reverse_idx_sort = np.argsort(idx_sort, axis=0)
+        else:
+            for i in range(count.max()):
+                idx_select = (np.cumsum(np.insert(count, 0, 0)[0:-1]) +
+                              i % count)
+                idx_part = idx_sort[idx_select]
+                np.random.shuffle(idx_part)
+                idx_points.append(idx_part)
+    else:
+        idx_points.append(np.arange(len(coord)))
+    return (coord, feat, label, idx_points, voxel_idx, reverse_idx_part,
+            reverse_idx_sort)
+
+
+# ---------------------------------------------------------------------------
+# boundary / ambiguity metrics
+# ---------------------------------------------------------------------------
+
+def posmask_searching(xyz: np.ndarray, target: np.ndarray, nsample: int,
+                      num_classes: int, ignore_index=None,
+                      chunk: int = 200000):
+    """↔ AMContrast3D/metrics.py:160-184 on a flat (N, 3) cloud.
+
+    Returns (posmask (N, nsample-1) bool, neighbor_idx (N, nsample-1)).
+    """
+    import jax.numpy as jnp
+    labels = np.asarray(one_hot_labels(
+        jnp.asarray(target[None]), num_classes, ignore_index))[0]
+    lab = labels.argmax(-1)
+    idx, _ = knn(jnp.asarray(xyz[None]), jnp.asarray(xyz[None]), nsample)
+    idx = np.asarray(idx)[0][:, 1:]  # drop self-loop
+    neigh_lab = lab[idx]
+    posmask = lab[:, None] == neigh_lab
+    return posmask, idx
+
+
+def ambiguity_for_cloud(xyz: np.ndarray, posmask: np.ndarray,
+                        neighbor_idx: np.ndarray, cctype: str,
+                        ccbeta: float) -> np.ndarray:
+    import jax.numpy as jnp
+    dp = xyz[neighbor_idx] - xyz[:, None, :]
+    dd = np.sum(dp * dp, axis=-1)
+    return np.asarray(ambiguity_function(jnp.asarray(posmask),
+                                         jnp.asarray(dd), cctype, ccbeta))
+
+
+def ambiguity_metrics(ambiguity_soft: np.ndarray, label: np.ndarray,
+                      pred: np.ndarray, nu: float, cms: List[ConfusionMatrix]):
+    """Bucketed {0, low, ν, high, 1} metrics (↔ metrics.py:33-156).
+
+    ``cms`` is the list of 5 accumulating confusion matrices."""
+    mapping = np.floor(ambiguity_soft * 10 + 1)
+    nu_m = nu * 10 + 1
+    buckets = [mapping == 1,
+               np.logical_and(1 < mapping, mapping < nu_m),
+               mapping == nu_m,
+               np.logical_and(nu_m < mapping, mapping < 11),
+               mapping == 11]
+    results = {"miou": [], "macc": [], "oa": [], "count_pct": []}
+    for cm, mask in zip(cms, buckets):
+        cm.update(pred[mask], label[mask])
+        miou, macc, oa, _, _ = get_mious(cm.tp, cm.union, cm.count)
+        results["miou"].append(round(miou, 2))
+        results["macc"].append(round(macc, 2))
+        results["oa"].append(round(oa, 2))
+        results["count_pct"].append(round(float(mask.sum()) / len(mapping) * 100, 2))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# whole-scene voting test
+# ---------------------------------------------------------------------------
+
+def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
+    """↔ ``test_boundary_inner`` (main_AA.py:516-802): per-cloud voxel-rank
+    subclouds → model → scatter-mean voting → global CM (+ optional
+    boundary/inner and ambiguity-bucket CMs)."""
+    eval_fn = runner.eval_step_fn()
+    aargs = dict(cfg.get("ambiguity_args", {}) or {})
+    miou_b_i = bool(aargs.get("miou_B_I", False))
+    action = bool(aargs.get("action", False))
+    gravity_dim = 2
+
+    trans_cfg = cfg.get("datatransforms")
+    pipe_transform = build_transforms_from_cfg(
+        "test" if (trans_cfg and trans_cfg.get("test")) else "val", trans_cfg)
+
+    all_cm = ConfusionMatrix(cfg.num_classes, cfg.get("ignore_index"))
+    cm_b = ConfusionMatrix(cfg.num_classes, cfg.get("ignore_index"))
+    cm_i = ConfusionMatrix(cfg.num_classes, cfg.get("ignore_index"))
+    amb_cms = [ConfusionMatrix(cfg.num_classes, cfg.get("ignore_index"))
+               for _ in range(5)]
+    amb_results = []
+
+    for cloud_idx, data_path in enumerate(data_list):
+        (coord, feat, label, idx_points, voxel_idx, reverse_idx_part,
+         reverse_idx_sort) = load_data(data_path, cfg)
+        n_total = len(coord)
+        vote_sum = np.zeros((n_total, cfg.num_classes), np.float32)
+        vote_cnt = np.zeros((n_total,), np.float32)
+        nearest_neighbor = len(idx_points) == 1 and voxel_idx is not None and \
+            cfg.get("test_mode", "multi_voxel") == "nearest_neighbor"
+
+        sub_logits_cache = None
+        for idx_part in idx_points:
+            coord_part = coord[idx_part].copy()
+            coord_part -= coord_part.min(0)
+            data = {"pos": coord_part.astype(np.float32)}
+            if feat is not None:
+                data["x"] = feat[idx_part].copy()
+            data = pipe_transform(data)
+            if "heights" in cfg.feature_keys and "heights" not in data:
+                data["heights"] = coord_part[:, gravity_dim:gravity_dim + 1].astype(np.float32)
+            n = len(idx_part)
+            nb = bucket_size(n, cfg.get("eval_bucket", 8192))
+            data = pad_cloud(data, nb)
+            batch = {
+                "pos": data["pos"][None],
+                "x": np.asarray(get_features_by_keys(data, cfg.feature_keys))[None],
+                "y": np.zeros((1, nb), np.int64),
+            }
+            out = eval_fn(state, jax.device_put(batch))
+            logits = np.asarray(out["logits"])[0, :n]
+            np.add.at(vote_sum, idx_part, logits)
+            np.add.at(vote_cnt, idx_part, 1.0)
+            sub_logits_cache = (idx_part, logits)
+
+        if nearest_neighbor:
+            idx_part, logits = sub_logits_cache
+            full = logits[reverse_idx_part][voxel_idx][reverse_idx_sort]
+            pred = full.argmax(-1)
+        else:
+            pred = (vote_sum / np.maximum(vote_cnt, 1.0)[:, None]).argmax(-1)
+
+        if label is not None:
+            label = np.asarray(label).squeeze().astype(np.int64)
+            all_cm.update(pred, label)
+
+            if miou_b_i or action:
+                data_test = pipe_transform({"pos": coord.copy().astype(np.float32),
+                                            "x": feat.copy() if feat is not None else None})
+                p_full = np.asarray(data_test["pos"])
+                posmask, neighbor_idx = posmask_searching(
+                    p_full, label, aargs["nsample"], cfg.num_classes,
+                    cfg.get("ignore_index"))
+            if miou_b_i:
+                s = posmask.sum(-1)
+                boundary = np.logical_and(0 < s, s < aargs["nsample"])
+                cm_b.update(pred[boundary], label[boundary])
+                cm_i.update(pred[~boundary], label[~boundary])
+            if action:
+                a = ambiguity_for_cloud(p_full, posmask, neighbor_idx,
+                                        aargs.get("cctype", "Method2"),
+                                        aargs.get("ccbeta", 0.04))
+                amb_results.append(ambiguity_metrics(a, label, pred,
+                                                     aargs.get("nu", 0.5),
+                                                     amb_cms))
+        logging.info("Test cloud [%d/%d] done (%d pts)", cloud_idx + 1,
+                     len(data_list), n_total)
+
+    miou, macc, oa, ious, accs = get_mious(all_cm.tp, all_cm.union, all_cm.count)
+    out = {"miou": miou, "macc": macc, "oa": oa, "ious": ious, "accs": accs,
+           "cm": all_cm}
+    if miou_b_i:
+        out["boundary"] = get_mious(cm_b.tp, cm_b.union, cm_b.count)[:3]
+        out["inner"] = get_mious(cm_i.tp, cm_i.union, cm_i.count)[:3]
+    if action and amb_results:
+        out["ambiguity"] = amb_results[-1]
+    return out

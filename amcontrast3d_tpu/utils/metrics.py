@@ -133,7 +133,7 @@ def get_mious(tp, union, count):
     count = np.asarray(count, dtype=np.float64)
     iou_per_cls = (tp + 1e-10) / (union + 1e-10) * 100
     acc_per_cls = (tp + 1e-10) / (count + 1e-10) * 100
-    over_all_acc = tp.sum() / count.sum() * 100
+    over_all_acc = tp.sum() / max(count.sum(), 1e-10) * 100
     return (
         float(np.mean(iou_per_cls)),
         float(np.mean(acc_per_cls)),
