@@ -17,3 +17,12 @@ re-designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the flagship train step is a large graph
+# (~minutes to compile); cache compiled executables across processes.
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
