@@ -23,6 +23,7 @@ from ..parallel import get_mesh, replicate, shard_batch
 from ..scheduler import as_step_schedule, build_scheduler_from_cfg
 from ..utils import (AverageMeter, ConfusionMatrix, load_checkpoint,
                      resume_checkpoint, save_checkpoint, set_random_seed)
+from ..utils.summary import SummaryWriter
 from ..data.data_util import bucket_size, pad_cloud
 from .train import (build_tx, create_train_state, make_eval_step,
                     make_sharded_eval_step, make_sharded_train_step,
@@ -146,6 +147,9 @@ class Runner:
         if self.distributed:
             rngk = replicate(rngk, self.mesh)
 
+        writer = SummaryWriter(cfg.get("run_dir"),
+                               use_wandb=bool((cfg.get("wandb") or {}).get("use_wandb")),
+                               wandb_cfg=cfg.get("wandb"))
         best_val, best_epoch = 0.0, 0
         val_miou = val_macc = val_oa = 0.0
         for epoch in range(start_epoch, self.epochs + 1):
@@ -172,17 +176,30 @@ class Runner:
 
             is_best = False
             if epoch % cfg.get("val_freq", 1) == 0:
-                val_miou, val_macc, val_oa, _, _ = self.validate(state, val_loader)
+                validate_fn = (self.validate_sphere
+                               if cfg.get("val_fn") == "validate_sphere"
+                               else self.validate)
+                val_miou, val_macc, val_oa, _, _ = validate_fn(state, val_loader)
                 if val_miou > best_val:
                     is_best, best_val, best_epoch = True, val_miou, epoch
                 logging.info("Epoch %d val_miou %.2f (best %.2f @E%d)",
                              epoch, val_miou, best_val, best_epoch)
+            # per-epoch scalars (↔ main_AA.py:298-308 / main_MM.py:303-311)
+            writer.add_scalar("train_loss", loss_meter.avg, epoch)
+            writer.add_scalar("train_miou", miou, epoch)
+            writer.add_scalar("train_macc", macc, epoch)
+            writer.add_scalar("val_miou", val_miou, epoch)
+            writer.add_scalar("best_val", best_val, epoch)
+            writer.add_scalar("lr", lr, epoch)
+            for k, m in extra_meters.items():
+                writer.add_scalar(k, m.avg, epoch)
             if cfg.get("ckpt_dir"):
                 save_checkpoint(cfg, {"params": state.params,
                                       "batch_stats": state.batch_stats,
                                       "opt_state": state.opt_state},
                                 epoch, additioanl_dict={"best_val": best_val},
                                 is_best=is_best)
+        writer.close()
         return state, {"best_val": best_val, "best_epoch": best_epoch,
                        "val_miou": val_miou, "val_macc": val_macc,
                        "val_oa": val_oa}
@@ -210,4 +227,32 @@ class Runner:
             logits = np.asarray(out["logits"])[:, :n]
             pred = logits.argmax(-1)
             cm.update(pred, np.asarray(batch["y"])[:, :n])
+        return cm.all_metrics()
+
+    # ------------------------------------------------------------------
+    def validate_sphere(self, state, val_loader):
+        """Sphere-protocol validation (↔ validate_sphere, main.py:437-508):
+        accumulate per-cloud logits over all sampled spheres (scatter-add by
+        subsampled point index — the cross-GPU all_reduce of the reference
+        becomes a host accumulation), then score each cloud once."""
+        cfg = self.cfg
+        eval_fn = self.eval_step_fn()
+        ds = val_loader.dataset
+        vote = [np.zeros((len(c[0]), self.num_classes), np.float32)
+                for c in ds.clouds]
+        for data in val_loader:
+            batch = _prep_batch(data, cfg)
+            out = eval_fn(state, jax.device_put(batch))
+            logits = np.asarray(out["logits"])
+            cloud_idx = np.asarray(data["cloud_idx"]).reshape(-1)
+            point_idx = np.asarray(data["point_idx"])
+            for b in range(len(cloud_idx)):
+                np.add.at(vote[int(cloud_idx[b])], point_idx[b], logits[b])
+        cm = ConfusionMatrix(self.num_classes, self.ignore_index)
+        for ci, c in enumerate(ds.clouds):
+            seen = vote[ci].sum(-1) != 0
+            if not seen.any():
+                continue
+            pred = vote[ci][seen].argmax(-1)
+            cm.update(pred, c[2][seen])
         return cm.all_metrics()
