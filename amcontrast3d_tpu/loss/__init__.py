@@ -4,6 +4,7 @@ from .build import (LOSS, CrossEntropy, CrossEntropyAce, CrossEntropyAcePre,
 from .contrast import (ambiguity_head, contrast_head, contrast_softnn,
                        contrast_softnn_margin, dist_cos, dist_dot, dist_kl,
                        dist_l2, point_contrast_margin)
+from . import extras  # noqa: F401  (registers extra losses)
 from .aef import one_hot_labels, stage_ambiguity, stage_neighborhood, subscene_labels
 
 __all__ = [
