@@ -60,7 +60,15 @@ def main_cli(kind: str, argv=None):
 
     runner = Runner(cfg, kind=kind)
     if mode in ("train", "resume"):
-        state, results = runner.train()
+        if args.profile:
+            # TPU-native tracing (↔ examples/profile.py's deepspeed profiler):
+            # a jax.profiler trace of the first epochs, viewable in
+            # TensorBoard / Perfetto.
+            import jax
+            with jax.profiler.trace(os.path.join(cfg.run_dir, "profile")):
+                state, results = runner.train()
+        else:
+            state, results = runner.train()
         logging.info("Training done: %s", results)
         return results
     if mode in ("val", "val_train", "test"):

@@ -50,12 +50,14 @@ def main():
 
     # warmup / compile
     state, metrics = step(state, batch, rngk)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
+    # Force a host-side value fetch per iteration: on the experimental
+    # remote-TPU platform, block_until_ready alone under-reported step time.
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, rngk)
-    jax.block_until_ready(metrics["loss"])
+        _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     pts_per_sec = B * N / dt
