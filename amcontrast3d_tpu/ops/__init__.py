@@ -1,4 +1,5 @@
-from .knn import knn, knn_flat, ball_query, square_distance
+from .knn import (knn, knn_flat, ball_query, square_distance,
+                  set_knn_backend)
 from .fps import furthest_point_sample, random_sample
 from .group import (CHANNEL_MAP, Grouper, create_grouper, gather_points,
                     get_aggregation_features, group_points)
@@ -8,7 +9,7 @@ from .chamfer import chamfer_distance_l1, chamfer_distance_l2, chamfer_raw
 from .emd import approx_match, earth_mover_distance, match_cost
 
 __all__ = [
-    "knn", "knn_flat", "ball_query", "square_distance",
+    "knn", "knn_flat", "ball_query", "square_distance", "set_knn_backend",
     "furthest_point_sample", "random_sample",
     "CHANNEL_MAP", "Grouper", "create_grouper", "gather_points",
     "get_aggregation_features", "group_points",
