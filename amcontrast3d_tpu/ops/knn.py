@@ -90,9 +90,25 @@ def _pad_queries(query: jnp.ndarray, tile: int) -> Tuple[jnp.ndarray, int]:
     return query, m
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def _use_pallas(N: int, k: int) -> bool:
+    """Fused Pallas kernel for large supports on TPU (see knn_pallas.py)."""
+    if _KNN_BACKEND == "exact":
+        return False
+    return (jax.default_backend() == "tpu" and N >= 4096
+            and k <= 2 * (N // 128))
+
+
 def knn(support: jnp.ndarray, query: jnp.ndarray, k: int,
         tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if _use_pallas(support.shape[1], k):
+        from .knn_pallas import knn_pallas
+        return knn_pallas(support, query, k)
+    return _knn_jnp(support, query, k, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def _knn_jnp(support: jnp.ndarray, query: jnp.ndarray, k: int,
+             tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact kNN of ``query`` points among ``support`` points.
 
     Args:
@@ -138,9 +154,17 @@ def knn_flat(support: jnp.ndarray, query: jnp.ndarray, k: int,
     return idx[0], d2[0]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile"))
 def ball_query(support: jnp.ndarray, query: jnp.ndarray, radius: float, k: int,
                tile: int = 2048) -> jnp.ndarray:
+    if _use_pallas(support.shape[1], k):
+        from .knn_pallas import ball_query_pallas
+        return ball_query_pallas(support, query, radius, k)
+    return _ball_query_jnp(support, query, radius, k, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def _ball_query_jnp(support: jnp.ndarray, query: jnp.ndarray, radius: float,
+                    k: int, tile: int = 2048) -> jnp.ndarray:
     """Reference-exact ball query (``ball_query_gpu.cu:15-51``).
 
     Selects the first ``k`` support indices (in index order) with
