@@ -216,7 +216,8 @@ def ball_query_pallas(support: jnp.ndarray, query: jnp.ndarray, radius: float,
     oi = oi[:, :M, :k]
     od = od[:, :M, :k]
     valid = od < _INF
+    oi = jnp.take(perm, jnp.clip(oi, 0, N - 1), axis=0).astype(jnp.int32)
+    # pad invalid slots with the first in-ball index; all-empty balls → 0
+    # (zero-init reference semantics, ball_query_gpu.cu:40-47)
     first = jnp.where(valid[..., :1], oi[..., :1], 0)
-    oi = jnp.where(valid, oi, first)
-    oi = jnp.clip(oi, 0, N - 1)
-    return jnp.take(perm, oi, axis=0).astype(jnp.int32)
+    return jnp.where(valid, oi, first)
