@@ -31,6 +31,14 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _perm(n: int) -> np.ndarray:
+    """Fixed support permutation, host-side constant (a traced
+    jax.random.permutation would add a device sort to every kNN call)."""
+    return np.random.RandomState(17).permutation(n).astype(np.int32)
 
 _INF = 1e10
 _BIGI = 1 << 30
@@ -110,7 +118,7 @@ def knn_pallas(support: jnp.ndarray, query: jnp.ndarray, k: int,
     assert k <= 2 * ((N + BIN - 1) // BIN), "k exceeds candidate capacity"
 
     # fixed permutation so index bins are spatially uniform for any input order
-    perm = jax.random.permutation(jax.random.PRNGKey(17), N)
+    perm = jnp.asarray(_perm(N))
     sup = jnp.take(support, perm, axis=1)
 
     n_pad = -(-N // CS) * CS
@@ -171,7 +179,7 @@ def ball_query_pallas(support: jnp.ndarray, query: jnp.ndarray, radius: float,
     B, N, _ = support.shape
     M = query.shape[1]
 
-    perm = jax.random.permutation(jax.random.PRNGKey(17), N)
+    perm = jnp.asarray(_perm(N))
     sup = jnp.take(support, perm, axis=1)
 
     n_pad = -(-N // CS) * CS
