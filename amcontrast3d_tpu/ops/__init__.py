@@ -7,6 +7,8 @@ from .interpolate import three_interpolate, three_interpolation, three_nn
 from .ambiguity import ambiguity_function, ambiguity_histogram
 from .chamfer import chamfer_distance_l1, chamfer_distance_l2, chamfer_raw
 from .emd import approx_match, earth_mover_distance, match_cost
+from .dilated_knn import dilated_knn
+from .pointops_extra import aggregation, interpolation, interpolation2, subtraction
 
 __all__ = [
     "knn", "knn_flat", "ball_query", "square_distance", "set_knn_backend",
@@ -17,4 +19,5 @@ __all__ = [
     "ambiguity_function", "ambiguity_histogram",
     "chamfer_distance_l1", "chamfer_distance_l2", "chamfer_raw",
     "approx_match", "earth_mover_distance", "match_cost",
+    "dilated_knn", "aggregation", "interpolation", "interpolation2", "subtraction",
 ]

@@ -208,3 +208,36 @@ class TestChamferEMD:
         p2 = jnp.array(rng.randn(1, 8, 3).astype(np.float32))
         g = jax.grad(lambda a: ops.earth_mover_distance(a, p2))(p1)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestPointopsExtra:
+    def test_subtraction(self, rng):
+        from amcontrast3d_tpu.ops import subtraction
+        f1 = jnp.array(rng.randn(10, 4).astype(np.float32))
+        f2 = jnp.array(rng.randn(10, 4).astype(np.float32))
+        idx = jnp.array(rng.randint(0, 10, (10, 3)))
+        out = np.asarray(subtraction(f1, f2, idx))
+        for i in range(10):
+            for k in range(3):
+                np.testing.assert_allclose(
+                    out[i, k], np.asarray(f1)[i] - np.asarray(f2)[int(idx[i, k])],
+                    rtol=1e-6)
+
+    def test_aggregation_channel_share(self, rng):
+        from amcontrast3d_tpu.ops import aggregation
+        inp = jnp.array(rng.randn(8, 6).astype(np.float32))
+        pos = jnp.array(rng.randn(8, 4, 6).astype(np.float32))
+        w = jnp.array(rng.randn(8, 4, 2).astype(np.float32))  # share=3
+        idx = jnp.array(rng.randint(0, 8, (8, 4)))
+        out = np.asarray(aggregation(inp, pos, w, idx))
+        i, c = 2, 4  # channel 4 → weight column 4//3 = 1
+        expected = sum((np.asarray(inp)[int(idx[i, k]), c] + np.asarray(pos)[i, k, c])
+                       * np.asarray(w)[i, k, 1] for k in range(4))
+        np.testing.assert_allclose(out[i, c], expected, rtol=1e-5)
+
+    def test_interpolation_flat(self, rng):
+        from amcontrast3d_tpu.ops import interpolation
+        xyz = jnp.array(rng.rand(20, 3).astype(np.float32))
+        feat = jnp.array(rng.randn(20, 5).astype(np.float32))
+        out = np.asarray(interpolation(xyz, xyz, feat, k=3))
+        np.testing.assert_allclose(out, np.asarray(feat), rtol=1e-3, atol=1e-3)
