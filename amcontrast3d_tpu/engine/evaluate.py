@@ -246,6 +246,37 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
                 amb_results.append(ambiguity_metrics(a, label, pred,
                                                      aargs.get("nu", 0.5),
                                                      amb_cms))
+        if cfg.get("visualize"):
+            # ↔ main_AA.py:713-735: export gt / pred colored clouds
+            from ..utils.vis import labels_to_colors, write_obj
+            vis_dir = os.path.join(cfg.get("run_dir", "."), "visualization")
+            cmap = getattr(cfg, "cmap", None)
+            name = f"{cfg.dataset.common.NAME.lower()}-{cloud_idx}"
+            write_obj(coord, labels_to_colors(pred, cmap),
+                      os.path.join(vis_dir, f"{name}-pred.obj"))
+            if label is not None:
+                write_obj(coord, labels_to_colors(label, cmap),
+                          os.path.join(vis_dir, f"{name}-gt.obj"))
+        if cfg.get("save_pred"):
+            # ↔ main_AA.py:736-751: benchmark submission export
+            pred_dir = os.path.join(cfg.get("run_dir", "."), "predictions")
+            os.makedirs(pred_dir, exist_ok=True)
+            dname = cfg.dataset.common.NAME.lower()
+            if "scannet" in dname:
+                # remap train ids → raw ScanNet label ids
+                valid_ids = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
+                                      14, 16, 24, 28, 33, 34, 36, 39])
+                out = valid_ids[pred]
+                base = os.path.splitext(os.path.basename(str(data_path)))[0]
+                np.savetxt(os.path.join(pred_dir, base + ".txt"), out,
+                           fmt="%d")
+            elif "semantickitti" in dname:
+                from ..data.semantickitti import remap_lut_write
+                out = remap_lut_write[pred + 1].astype(np.uint32)
+                out.tofile(os.path.join(pred_dir, f"{cloud_idx:06d}.label"))
+            else:
+                np.savetxt(os.path.join(pred_dir, f"cloud_{cloud_idx}.txt"),
+                           pred, fmt="%d")
         logging.info("Test cloud [%d/%d] done (%d pts)", cloud_idx + 1,
                      len(data_list), n_total)
 

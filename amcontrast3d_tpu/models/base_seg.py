@@ -39,11 +39,14 @@ def _build_decoder(encoder_args, decoder_args, encoder, bn_axis_name, dtype,
     merged = dict(encoder_args)
     merged.update(dict(decoder_args))
     merged.pop("NAME", None)
+    name = dict(decoder_args).get("NAME", "PointNextDecoder")
+    # the AMContrast3D decoder aliases resolve to PointNextDecoder
+    cls = PointNextDecoder if name.startswith("PointNextDecoder") \
+        else (MODELS.get(name) or PointNextDecoder)
     merged["encoder_channel_list"] = encoder.channel_list
     merged["in_channels_input"] = dict(encoder_args).get("in_channels", 3)
     merged.update(extra)
-    return make_module(PointNextDecoder, merged, bn_axis_name=bn_axis_name,
-                       dtype=dtype)
+    return make_module(cls, merged, bn_axis_name=bn_axis_name, dtype=dtype)
 
 
 def _build_head(cls_args, decoder, encoder, bn_axis_name, dtype):

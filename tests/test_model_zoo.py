@@ -111,3 +111,21 @@ def test_variable_seg(rng):
                            training=False)
     logits = model.apply(variables, pos, feats, training=False)
     assert logits.shape == (B, N, 13)
+
+
+def test_base_seg_with_pointnet2(rng):
+    """BaseSeg dispatches decoder by NAME (PointNet2Decoder)."""
+    from amcontrast3d_tpu.models import BaseSeg
+    enc_args = dict(NAME="PointNet2Encoder", in_channels=4, width=8,
+                    strides=[2, 2], layers=2, radius=0.2, num_samples=8,
+                    aggr_args={"feature_type": "dp_fj"},
+                    group_args={"NAME": "ballquery"},
+                    norm_args={"norm": "bn"}, act_args={"act": "relu"})
+    model = BaseSeg(encoder_args=enc_args,
+                    decoder_args={"NAME": "PointNet2Decoder"},
+                    cls_args={"NAME": "SegHead", "num_classes": 13})
+    pos, feats = _data(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pos, feats,
+                           training=False)
+    logits = model.apply(variables, pos, feats, training=False)
+    assert logits.shape == (B, N, 13)
