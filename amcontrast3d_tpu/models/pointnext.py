@@ -302,6 +302,7 @@ class PointNextEncoder(nn.Module):
     use_res: bool = True
     radius_scaling: float = 2
     nsample_scaling: float = 1
+    remat: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -331,6 +332,13 @@ class PointNextEncoder(nn.Module):
         nsamples = to_full_list(self.nsample, self.blocks, self.strides, self.nsample_scaling)
         channels = self.channel_list
         block_cls = _BLOCKS[self.block] if isinstance(self.block, str) else self.block
+        sa_cls = SetAbstraction
+        if self.remat:
+            # rematerialize the grouped (B, N, K, C) neighborhoods in the
+            # backward pass — trades recompute for the dominant activation
+            # memory (jax.checkpoint; enables ≥2× batch on one chip)
+            sa_cls = nn.remat(SetAbstraction, static_argnums=(3,))
+            block_cls = nn.remat(block_cls, static_argnums=(3,))
 
         p_list, f_list = [p0], [f0]
         in_ch = self.in_channels
@@ -340,7 +348,7 @@ class PointNextEncoder(nn.Module):
             ga = dict(self.group_args or {"NAME": "ballquery"})
             ga["radius"] = radii[i][0]
             ga["nsample"] = nsamples[i][0]
-            p, f = SetAbstraction(
+            p, f = sa_cls(
                 in_channels=in_ch, out_channels=channels[i],
                 layers=self.sa_layers if not is_head else 1,
                 stride=self.strides[i], group_args=ga,
@@ -349,7 +357,7 @@ class PointNextEncoder(nn.Module):
                 feature_type=aggr_args.get("feature_type", "dp_fj"),
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name=f"enc{i}_sa",
-            )(p, f, training=training)
+            )(p, f, training)
             in_ch = channels[i]
             for j in range(1, self.blocks[i]):
                 gaj = dict(self.group_args or {"NAME": "ballquery"})
@@ -361,7 +369,7 @@ class PointNextEncoder(nn.Module):
                     conv_args=self.conv_args, expansion=self.expansion,
                     use_res=self.use_res, bn_axis_name=self.bn_axis_name,
                     dtype=self.dtype, name=f"enc{i}_block{j}",
-                )(p, f, training=training)
+                )(p, f, training)
             p_list.append(p)
             f_list.append(f)
         return p_list, f_list

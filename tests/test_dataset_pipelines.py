@@ -92,3 +92,23 @@ def test_semantickitti_dataset(tmp_path):
     assert d["pos"].shape == (256, 3)
     # remap: 0→-1 (ignore), 10→0(car), 40→8(road), 48→10, 70→14, 81→18
     assert set(np.unique(d["y"])).issubset({-1, 0, 8, 10, 14, 18})
+
+
+def test_scannet_dataset(tmp_path):
+    import torch
+    from amcontrast3d_tpu.data import ScanNet
+    rng = np.random.RandomState(1)
+    (tmp_path / "train").mkdir()
+    for i in range(2):
+        coord = rng.randn(2000, 3).astype(np.float32) * 3
+        feat = (rng.rand(2000, 3).astype(np.float32) * 2 - 1)  # [-1, 1]
+        label = rng.randint(-1, 20, 2000).astype(np.int64)
+        label[label < 0] = -100
+        torch.save((coord, feat, label), tmp_path / "train" / f"scene{i}.pth")
+    ds = ScanNet(data_root=str(tmp_path), split="train", voxel_size=0.05,
+                 voxel_max=256)
+    d = ds[0]
+    assert d["pos"].shape == (256, 3)
+    assert d["x"].shape == (256, 3)
+    assert d["x"].max() <= 255.0 and d["x"].min() >= 0.0
+    assert set(np.unique(d["y"])).issubset(set(range(20)) | {-100})
