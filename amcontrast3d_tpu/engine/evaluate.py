@@ -162,6 +162,20 @@ def ambiguity_metrics(ambiguity_soft: np.ndarray, label: np.ndarray,
 # whole-scene voting test
 # ---------------------------------------------------------------------------
 
+def ambiguity_summary(amb_results: List[Dict]) -> Dict:
+    """Aggregate per-cloud ambiguity-bucket metrics (↔ metrics.py:9-29):
+    mean mIoU/mACC/OA/count% per {0, low, ν, high, 1} bucket."""
+    out = {}
+    for key in ("miou", "macc", "oa", "count_pct"):
+        out[key] = np.round(np.mean([r[key] for r in amb_results], axis=0),
+                            2).tolist()
+    logging.info("miou per ambiguity: %s", out["miou"])
+    logging.info("macc per ambiguity: %s", out["macc"])
+    logging.info("oa per ambiguity: %s", out["oa"])
+    logging.info("count%% per ambiguity: %s", out["count_pct"])
+    return out
+
+
 def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
     """↔ ``test_boundary_inner`` (main_AA.py:516-802): per-cloud voxel-rank
     subclouds → model → scatter-mean voting → global CM (+ optional
@@ -288,4 +302,5 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
         out["inner"] = get_mious(cm_i.tp, cm_i.union, cm_i.count)[:3]
     if action and amb_results:
         out["ambiguity"] = amb_results[-1]
+        out["ambiguity_summary"] = ambiguity_summary(amb_results)
     return out

@@ -103,6 +103,7 @@ def get_aggregation_features(p: jnp.ndarray, dp: jnp.ndarray,
     raise ValueError(f"unknown feature_type {feature_type}")
 
 
+# feature_type → input channel count (↔ local_aggregation.py:13-29)
 CHANNEL_MAP = {
     "fj": lambda x: x,
     "df": lambda x: x,
@@ -112,8 +113,11 @@ CHANNEL_MAP = {
     "pj": lambda x: x,
     "dp": lambda x: 3,
     "pi_dp": lambda x: x + 3,
+    "pj_dp": lambda x: x + 3,
     "dp_fj_df": lambda x: x * 2 + 3,
     "dp_fi_df": lambda x: x * 2 + 3,
     "pi_dp_fj_df": lambda x: x * 2 + 6,
+    "pj_dp_fj_df": lambda x: x * 2 + 6,
+    "pj_dp_df": lambda x: x + 6,
     "dp_df": lambda x: x + 3,
 }
