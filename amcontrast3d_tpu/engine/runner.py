@@ -176,9 +176,12 @@ class Runner:
 
             is_best = False
             if epoch % cfg.get("val_freq", 1) == 0:
-                validate_fn = (self.validate_sphere
-                               if cfg.get("val_fn") == "validate_sphere"
-                               else self.validate)
+                if cfg.get("val_fn") == "validate_sphere":
+                    validate_fn = self.validate_sphere
+                elif dict(cfg.get("ambiguity_args", {}) or {}).get("miou_B_I"):
+                    validate_fn = self.validate_boundary_inner
+                else:
+                    validate_fn = self.validate
                 val_miou, val_macc, val_oa, _, _ = validate_fn(state, val_loader)
                 if val_miou > best_val:
                     is_best, best_val, best_epoch = True, val_miou, epoch
@@ -228,6 +231,49 @@ class Runner:
             pred = logits.argmax(-1)
             cm.update(pred, np.asarray(batch["y"])[:, :n])
         return cm.all_metrics()
+
+    # ------------------------------------------------------------------
+    def validate_boundary_inner(self, state, val_loader):
+        """Validation with boundary/inner mIoU split (↔
+        validate_boundary_inner, main_AA.py:431-513): boundary points are
+        those whose kNN label neighborhood is mixed (posmask quirk included:
+        ``0 < Σ posmask < nsample`` with Σ ≤ nsample−1)."""
+        from .evaluate import posmask_searching
+
+        cfg = self.cfg
+        aargs = dict(cfg.get("ambiguity_args", {}) or {})
+        eval_fn = self.eval_step_fn()
+        cm = ConfusionMatrix(self.num_classes, self.ignore_index)
+        cm_b = ConfusionMatrix(self.num_classes, self.ignore_index)
+        cm_i = ConfusionMatrix(self.num_classes, self.ignore_index)
+        for data in val_loader:
+            batch = _prep_batch(data, cfg)
+            b, n = batch["y"].shape
+            nb = bucket_size(n, cfg.get("eval_bucket", 8192))
+            if nb != n:
+                padded = [pad_cloud({k: v[i] for k, v in batch.items()}, nb)
+                          for i in range(b)]
+                batch = {k: np.stack([p[k] for p in padded])
+                         for k in ("pos", "x", "y")}
+            out = eval_fn(state, jax.device_put(batch))
+            pred = np.asarray(out["logits"])[:, :n].argmax(-1)
+            y = np.asarray(batch["y"])[:, :n]
+            cm.update(pred, y)
+            for i in range(b):
+                posmask, _ = posmask_searching(
+                    np.asarray(batch["pos"])[i, :n], y[i],
+                    int(aargs.get("nsample", 24)), self.num_classes,
+                    self.ignore_index)
+                s = posmask.sum(-1)
+                boundary = np.logical_and(0 < s, s < aargs.get("nsample", 24))
+                cm_b.update(pred[i][boundary], y[i][boundary])
+                cm_i.update(pred[i][~boundary], y[i][~boundary])
+        miou, macc, oa, ious, accs = cm.all_metrics()
+        b_metrics = cm_b.all_metrics()[:3]
+        i_metrics = cm_i.all_metrics()[:3]
+        logging.info("val boundary mIoU/mACC/OA: %.2f/%.2f/%.2f  "
+                     "inner: %.2f/%.2f/%.2f", *b_metrics, *i_metrics)
+        return miou, macc, oa, ious, accs
 
     # ------------------------------------------------------------------
     def validate_sphere(self, state, val_loader):
