@@ -34,6 +34,15 @@ def one_hot_labels(target: jnp.ndarray, num_classes: int,
     return jax.nn.one_hot(target, num_classes, dtype=jnp.float32)
 
 
+def gather_int(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, N) int, idx: (B, M, K) → (B, M, K) (13× less HBM traffic than
+    gathering one-hot label vectors — profiling showed the one-hot gathers
+    dominate the loss)."""
+    B, M, K = idx.shape
+    flat = jnp.take_along_axis(x, idx.reshape(B, M * K), axis=1)
+    return flat.reshape(B, M, K)
+
+
 def subscene_labels(labels0: jnp.ndarray, p0: jnp.ndarray,
                     p_stage: jnp.ndarray, stage_i: int) -> jnp.ndarray:
     """Soft labels for a subsampled stage: mean one-hot over the
@@ -41,15 +50,21 @@ def subscene_labels(labels0: jnp.ndarray, p0: jnp.ndarray,
 
     labels0: (B, N0, ncls) one-hot at full resolution; p0: (B, N0, 3);
     p_stage: (B, N_s, 3).  stage_i == 0 returns labels0 unchanged.
+
+    Equivalent optimization: gather the int class ids (1 value/point) and
+    one-hot on the fly instead of gathering ncls-wide one-hot rows —
+    identical mean because labels0 is hard one-hot.
     """
     if stage_i == 0:
         return labels0
     kr = 1
     for s in NSTRIDE[:stage_i]:
         kr *= s
+    ncls = labels0.shape[-1]
     idx, _ = knn(p0, p_stage, kr)
-    neigh = group_points(labels0, idx)  # (B, N_s, kr, ncls)
-    return jnp.mean(neigh, axis=-2)
+    ints0 = jnp.argmax(labels0, axis=-1)           # (B, N0)
+    neigh = gather_int(ints0, idx)                 # (B, N_s, kr)
+    return jnp.mean(jax.nn.one_hot(neigh, ncls, dtype=jnp.float32), axis=-2)
 
 
 def stage_neighborhood(p: jnp.ndarray, labels: jnp.ndarray, nsample: int
@@ -57,16 +72,18 @@ def stage_neighborhood(p: jnp.ndarray, labels: jnp.ndarray, nsample: int
     """kNN(nsample) with self-loop dropped → (idx (B,N,K), posmask (B,N,K),
     dd (B,N,K) squared neighbor distances).  K = nsample − 1.
 
-    posmask follows ``posmask_cnt`` (MarginContrast.py:111-115): argmax of the
-    (possibly soft) one-hot labels.
+    posmask follows ``posmask_cnt`` (MarginContrast.py:111-115): argmax of
+    the (possibly soft) one-hot labels — argmax-then-gather ≡
+    gather-then-argmax, at 1/ncls the gather traffic.  The neighbor d² reuse
+    the kNN's own distances (the reference recomputes square_distance over
+    re-gathered positions, AEF/ambiguity.py:28-52 — same values).
     """
-    idx, _ = knn(p, p, nsample)
+    idx, d2 = knn(p, p, nsample)
     idx = idx[..., 1:]  # exclude self-loop (MarginContrast.py:225-226)
+    dd = d2[..., 1:]
     lab = jnp.argmax(labels, axis=-1)                      # (B, N)
-    neigh_lab = jnp.argmax(group_points(labels, idx), axis=-1)  # (B, N, K)
+    neigh_lab = gather_int(lab, idx)                       # (B, N, K)
     posmask = lab[..., None] == neigh_lab
-    dp = group_points(p, idx) - p[:, :, None, :]
-    dd = jnp.sum(dp * dp, axis=-1)
     return idx, posmask, dd
 
 
