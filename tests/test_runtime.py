@@ -1,0 +1,161 @@
+"""Runtime-layer tests: config loader, registry, optimizers, schedulers,
+checkpointing, metrics — the L6 subsystems of SURVEY.md §2.6."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from amcontrast3d_tpu.optim import build_optimizer_from_cfg
+from amcontrast3d_tpu.scheduler import as_step_schedule, build_scheduler_from_cfg
+from amcontrast3d_tpu.utils import (ConfusionMatrix, EasyConfig, Registry,
+                                    get_mious, load_checkpoint,
+                                    save_checkpoint)
+from amcontrast3d_tpu.utils.metrics import confusion_matrix_update
+
+
+def test_easyconfig_recursive_defaults(tmp_path):
+    (tmp_path / "sub").mkdir()
+    with open(tmp_path / "default.yaml", "w") as f:
+        yaml.safe_dump({"a": 1, "nested": {"x": 1, "y": 2}}, f)
+    with open(tmp_path / "sub" / "default.yaml", "w") as f:
+        yaml.safe_dump({"b": 2, "nested": {"y": 3}}, f)
+    with open(tmp_path / "sub" / "leaf.yaml", "w") as f:
+        yaml.safe_dump({"c": 3, "nested": {"z": 4}}, f)
+    cfg = EasyConfig()
+    cfg.load(str(tmp_path / "sub" / "leaf.yaml"), recursive=True)
+    assert cfg.a == 1 and cfg.b == 2 and cfg.c == 3
+    # leaf overrides middle overrides root
+    assert cfg.nested.x == 1 and cfg.nested.y == 3 and cfg.nested.z == 4
+
+
+def test_easyconfig_cli_overrides():
+    cfg = EasyConfig()
+    cfg.update({"lr": 0.1, "model": {"width": 32}})
+    cfg.update(["lr=0.01", "model.width=64", "model.blocks=[1,2,3]",
+                "mode=test"])
+    assert cfg.lr == 0.01
+    assert cfg.model.width == 64
+    assert cfg.model.blocks == [1, 2, 3]
+    assert cfg.mode == "test"
+
+
+def test_registry_build_and_aliases():
+    R = Registry("test")
+
+    @R.register_module(name=["Foo", "FooAlias"])
+    class Foo:
+        def __init__(self, x=1, **kwargs):
+            self.x = x
+
+    obj = R.build({"NAME": "FooAlias", "x": 5})
+    assert isinstance(obj, Foo) and obj.x == 5
+    with pytest.raises(KeyError):
+        R.build({"NAME": "Bar"})
+
+
+@pytest.mark.parametrize("name", ["adamw", "adam", "sgd", "radam",
+                                  "adabelief", "lamb", "lars", "nadam",
+                                  "rmsprop", "lion"])
+def test_optimizer_factory(name):
+    import jax
+    tx = build_optimizer_from_cfg({"NAME": name, "weight_decay": 1e-4,
+                                   "lr": 0.01})
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.all(np.isfinite(np.asarray(updates["dense"]["kernel"])))
+
+
+def test_optimizer_weight_decay_mask():
+    """Bias/1-d params excluded from decay (optim_factory.py:66-81 parity):
+    zero grads → only decayed params move under adamw."""
+    import jax
+    tx = build_optimizer_from_cfg({"NAME": "adamw", "weight_decay": 0.1,
+                                   "lr": 0.01})
+    params = {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.abs(np.asarray(updates["kernel"])).max() > 0  # decayed
+    assert np.abs(np.asarray(updates["bias"])).max() == 0   # excluded
+
+
+def test_cosine_schedule_endpoints():
+    fn, epochs = build_scheduler_from_cfg({"sched": "cosine", "epochs": 100,
+                                           "lr": 0.01, "min_lr": 1e-5})
+    assert epochs == 100
+    np.testing.assert_allclose(float(fn(0)), 0.01, rtol=1e-5)
+    np.testing.assert_allclose(float(fn(100)), 1e-5, rtol=1e-3)
+    mid = float(fn(50))
+    assert 1e-5 < mid < 0.01
+
+
+def test_multistep_schedule():
+    fn, _ = build_scheduler_from_cfg({"sched": "multistep", "epochs": 150,
+                                      "lr": 0.001,
+                                      "decay_epochs": [70, 90],
+                                      "decay_rate": 0.1})
+    np.testing.assert_allclose(float(fn(69)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(fn(70)), 0.0001, rtol=1e-5)
+    np.testing.assert_allclose(float(fn(90)), 0.00001, rtol=1e-5)
+
+
+def test_step_schedule_per_epoch_granularity():
+    fn, _ = build_scheduler_from_cfg({"sched": "cosine", "epochs": 10,
+                                      "lr": 0.01, "min_lr": 1e-5})
+    sched = as_step_schedule(fn, steps_per_epoch=5, start_epoch=1)
+    # all steps within one epoch share the LR (sched_on_epoch parity)
+    assert float(sched(0)) == float(sched(4))
+    assert float(sched(0)) != float(sched(5))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = EasyConfig()
+    cfg.update({"ckpt_dir": str(tmp_path), "run_name": "t", "save_freq": -1})
+    state = {"params": {"w": jnp.arange(4.0)}, "opt": {"m": jnp.zeros(4)}}
+    save_checkpoint(cfg, state, epoch=3,
+                    additioanl_dict={"best_val": 55.5}, is_best=True)
+    template = {"params": {"w": jnp.zeros(4)}, "opt": {"m": jnp.ones(4)}}
+    restored, epoch, extras = load_checkpoint(
+        template, os.path.join(str(tmp_path), "t_ckpt_latest.ckpt"))
+    assert epoch == 3
+    assert extras["best_val"] == 55.5
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(4.0))
+    assert os.path.exists(os.path.join(str(tmp_path), "t_ckpt_best.ckpt"))
+
+
+def test_confusion_matrix_parity(rng):
+    pred = rng.randint(0, 5, 1000)
+    true = rng.randint(0, 5, 1000)
+    cm = ConfusionMatrix(5)
+    cm.update(pred, true)
+    assert cm.total == 1000
+    miou, macc, oa, ious, accs = cm.all_metrics()
+    # OA == plain accuracy
+    np.testing.assert_allclose(oa, (pred == true).mean() * 100, rtol=1e-6)
+    # jittable update matches host update
+    m = confusion_matrix_update(jnp.asarray(pred), jnp.asarray(true), 5)
+    np.testing.assert_array_equal(np.asarray(m), cm.value)
+
+
+def test_confusion_matrix_ignore_index():
+    cm = ConfusionMatrix(3, ignore_index=-100)
+    cm.update(np.array([0, 1, 2, 0]), np.array([0, 1, -100, 1]))
+    assert cm.total == 3  # ignored point excluded
+    m = confusion_matrix_update(jnp.array([0, 1, 2, 0]),
+                                jnp.array([0, 1, -100, 1]), 3,
+                                ignore_index=-100)
+    np.testing.assert_array_equal(np.asarray(m), cm.value)
+
+
+def test_get_mious_matches_cm():
+    cm = ConfusionMatrix(3)
+    cm.update(np.array([0, 1, 2, 2]), np.array([0, 1, 2, 1]))
+    miou, macc, oa, _, _ = get_mious(cm.tp, cm.union, cm.count)
+    miou2, macc2, oa2, _, _ = cm.all_metrics()
+    np.testing.assert_allclose(miou, miou2, atol=0.01)
+    np.testing.assert_allclose(oa, oa2, atol=0.01)
