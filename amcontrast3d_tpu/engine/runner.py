@@ -158,9 +158,15 @@ class Runner:
             loss_meter = AverageMeter()
             cm = ConfusionMatrix(self.num_classes, self.ignore_index)
             extra_meters: Dict[str, AverageMeter] = {}
+            # keep metrics as device arrays during the epoch so steps
+            # pipeline (a per-step host fetch would serialize on the
+            # host↔device round-trip); convert once at epoch end
+            pending = []
             for data in train_loader:
                 batch = self.put_batch(_prep_batch(data, cfg))
                 state, metrics = step(state, batch, rngk)
+                pending.append(metrics)
+            for metrics in pending:
                 loss_meter.update(float(metrics["loss"]))
                 cm.update_matrix(metrics["cm"])
                 for k, v in metrics.items():
