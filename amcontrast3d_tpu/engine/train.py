@@ -75,8 +75,11 @@ def _forward_loss(model, criterion, kind: str, num_classes: int,
         loss = criterion(logits, target, up, num_classes, ignore_index,
                          ambiguity_args)
     elif kind == "mm":
+        mm_kwargs = dict(apply_kwargs)
+        if ambiguity_args.get("source") == "AEF":
+            mm_kwargs["target"] = target  # GT-driven refinement (train only)
         (logits, stages, rate), mut = model.apply(
-            variables, batch["pos"], batch["x"], **apply_kwargs)
+            variables, batch["pos"], batch["x"], **mm_kwargs)
         key = "f_up" if ambiguity_args.get("stages", "up") == "up" else "f_down"
         up = list(zip(stages["p"], stages[key]))
         seg, ce, con, reg = criterion(logits, target, up, stages["ambiguity"],

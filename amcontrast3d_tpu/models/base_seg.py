@@ -161,7 +161,7 @@ class BaseSeg_M_AMContrast3D(nn.Module):
                                dtype=self.dtype)
 
     def __call__(self, pos, features, training: bool = False,
-                 aef_ambiguity=None):
+                 target=None, aef_ambiguity=None):
         p, f = self.encoder(pos, features, training=training)
         n_stages = self.decoder.decoder_stages
 
@@ -175,6 +175,18 @@ class BaseSeg_M_AMContrast3D(nn.Module):
             else:
                 a = out
             a_list.append(a[..., 0])  # (B, N_s)
+
+        # ambiguity source for refinement (pointnext_MM.py:522-534):
+        # 'APM' = predicted (inference-capable, default); 'AEF' = ground
+        # truth from labels (train only)
+        aef_args = dict(self.AEF_args or {})
+        if (aef_ambiguity is None and target is not None
+                and aef_args.get("source") == "AEF"):
+            from ..loss.contrast import ambiguity_head
+            up0 = [(p[i], f[i]) for i in range(1, 1 + n_stages)]
+            aef_ambiguity = ambiguity_head(
+                up0, target, int(dict(self.cls_args)["num_classes"]),
+                dict(self.cls_args).get("ignore_index"), aef_args)
 
         refine_a = a_list if aef_ambiguity is None else aef_ambiguity
         f_out, up_features, refine_rate = self.decoder(

@@ -121,3 +121,21 @@ def test_sharded_train_step_matches_dp_semantics(rng):
     out = ev(state, sbatch)
     assert out["logits"].shape == (8, 128, NCLS)
     assert int(out["cm"].sum()) == batch["y"].size
+
+
+def test_mm_aef_source_refinement(rng):
+    """MM with ambiguity_args.source='AEF': ground-truth ambiguity drives
+    the refinement (pointnext_MM.py:526-532)."""
+    model = BaseSeg_M_AMContrast3D(encoder_args=ENCODER_ARGS,
+                                   decoder_args={}, cls_args=CLS_ARGS,
+                                   APM_args=APM_ARGS,
+                                   AEF_args=dict(AARGS, source="AEF"))
+    criterion = CrossEntropyAcePre()
+    batch = _batch(rng)
+    tx = _tx()
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, criterion, tx, "mm", NCLS, None,
+                                   dict(AARGS, source="AEF")))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["refine_rate"]))
