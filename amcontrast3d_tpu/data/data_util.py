@@ -118,8 +118,16 @@ def pad_cloud(data: dict, target_n: int, rng: Optional[np.random.RandomState] = 
 
 
 def bucket_size(n: int, multiple: int = 8192) -> int:
-    """Round up to a bucket to bound XLA recompilations for variable rooms."""
-    return int(-(-n // multiple) * multiple)
+    """Round a variable room size up to a bucket, bounding the number of
+    distinct XLA compilations: linear multiples up to 4×multiple, then
+    geometric (powers of two of `multiple`) — ≤ ~10 buckets total for any
+    realistic room distribution."""
+    if n <= 4 * multiple:
+        return int(-(-n // multiple) * multiple)
+    b = 4 * multiple
+    while b < n:
+        b *= 2
+    return int(b)
 
 
 def get_features_by_keys(data: dict, keys: str = "pos,x"):
