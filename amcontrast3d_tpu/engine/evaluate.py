@@ -18,14 +18,14 @@ from __future__ import annotations
 import glob
 import logging
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 import jax
 import numpy as np
 
 from ..data.data_util import bucket_size, get_features_by_keys, pad_cloud, voxelize
 from ..loss.aef import one_hot_labels
-from ..ops import ambiguity_function, group_points, knn
+from ..ops import ambiguity_function, knn
 from ..transforms import build_transforms_from_cfg
 from ..utils import ConfusionMatrix, get_mious
 

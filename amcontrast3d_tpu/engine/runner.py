@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -21,8 +21,8 @@ from ..loss import build_criterion_from_cfg
 from ..models import build_model_from_cfg
 from ..parallel import get_mesh, replicate, shard_batch
 from ..scheduler import as_step_schedule, build_scheduler_from_cfg
-from ..utils import (AverageMeter, ConfusionMatrix, load_checkpoint,
-                     resume_checkpoint, save_checkpoint, set_random_seed)
+from ..utils import (AverageMeter, ConfusionMatrix, resume_checkpoint,
+                     save_checkpoint, set_random_seed)
 from ..utils.summary import SummaryWriter
 from ..data.data_util import bucket_size, pad_cloud
 from .train import (build_tx, create_train_state, make_eval_step,

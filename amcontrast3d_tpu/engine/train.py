@@ -161,7 +161,6 @@ def _get_shard_map():
     # check_vma is disabled: loop carries inside FPS start as replicated
     # constants and become device-varying, which the VMA checker rejects
     # even though the program is correct under pmean/psum reductions.
-    import functools as _ft
     if hasattr(jax, "shard_map"):
         return jax.shard_map
     from jax.experimental.shard_map import shard_map as _sm

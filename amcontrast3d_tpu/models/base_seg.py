@@ -22,7 +22,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .build import MODELS, filter_kwargs, make_module
+from .build import MODELS, make_module
 from .pointnext import PointNextDecoder, PointNextEncoder, SegHead
 
 

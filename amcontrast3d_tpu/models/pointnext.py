@@ -19,9 +19,9 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import (CHANNEL_MAP, create_grouper, furthest_point_sample,
-                   gather_points, get_aggregation_features, group_points,
-                   random_sample, three_interpolation)
+from ..ops import (create_grouper, furthest_point_sample, gather_points,
+                   get_aggregation_features, random_sample,
+                   three_interpolation)
 from .layers import ConvBlock, MLPBlocks, create_act
 
 

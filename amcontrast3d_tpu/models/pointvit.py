@@ -12,7 +12,7 @@ stochastic-depth residual gate of ``models/layers/drop.py:155``.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

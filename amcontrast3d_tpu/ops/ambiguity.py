@@ -17,8 +17,6 @@ masks — fixed shapes, one fused XLA graph, no data-dependent gathers:
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 _EPS = 1e-12  # AEF/function.py:8

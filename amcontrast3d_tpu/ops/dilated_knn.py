@@ -3,7 +3,7 @@ DilatedKNN): query k·d neighbors, keep every d-th (or a random subset of k
 with probability ε during training)."""
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
