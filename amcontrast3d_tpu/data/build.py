@@ -44,12 +44,19 @@ def stack_collate_fn(samples):
     return out
 
 
+def _load_item(args):
+    dataset, idx = args
+    return dataset[int(idx)]
+
+
 class NumpyLoader:
-    """Minimal epoch-based loader with shuffling and 1-deep thread prefetch."""
+    """Epoch-based loader: shuffling, thread prefetch (overlaps host batch
+    assembly with device compute), optional multiprocess item loading
+    (↔ torch DataLoader ``num_workers``, dataset/build.py:44-98)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, collate_fn=stack_collate_fn,
-                 seed: int = 0, prefetch: bool = True):
+                 seed: int = 0, prefetch: bool = True, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -58,6 +65,15 @@ class NumpyLoader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            import multiprocessing
+            self._pool = multiprocessing.get_context("fork").Pool(
+                self.num_workers)
+        return self._pool
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -87,7 +103,12 @@ class NumpyLoader:
             yield sel
 
     def _make_batch(self, sel):
-        return self.collate_fn([self.dataset[int(i)] for i in sel])
+        pool = self._get_pool()
+        if pool is not None:
+            items = pool.map(_load_item, [(self.dataset, i) for i in sel])
+        else:
+            items = [self.dataset[int(i)] for i in sel]
+        return self.collate_fn(items)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if not self.prefetch:
@@ -135,8 +156,12 @@ def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
                                      dataset_cfg.get(split, {}),
                                      transform=transform)
     shuffle = split == "train"
+    num_workers = int(dict(dataloader_cfg or {}).get("num_workers", 0) or 0)
+    import os as _os
+    num_workers = min(num_workers, max(_os.cpu_count() - 1, 0))
     loader = NumpyLoader(dataset, batch_size, shuffle=shuffle,
-                         drop_last=split == "train", seed=seed)
+                         drop_last=split == "train", seed=seed,
+                         num_workers=num_workers)
     logging.info("dataset %s split %s: %d samples, %d batches",
                  dataset.__class__.__name__, split, len(dataset), len(loader))
     return loader

@@ -107,106 +107,130 @@ def _knn_kernel(q_ref, s_ref, oi_ref, od_ref, d2_ref, cd_ref, ci_ref,
 
 
 def _knn_kernel_big(q_ref, s_ref, oi_ref, od_ref, cd_ref, ci_ref,
-                    od_s, oi_s, *, k: int, n_pad: int,
+                    *, k: int, n_chunks: int, cs: int,
                     radius2: float = None):
-    """Large-N variant: fori_loop over support chunks (compile time stays
-    O(1) in N instead of the static unroll's O(N/CS)); per-chunk candidates
-    land in a (TQ, n_chunks, 2·nbc) cube — the chunk axis is the sublane
-    dimension, where dynamic stores are legal."""
+    """Large-N variant: the support-chunk loop is the innermost GRID
+    dimension, so Pallas pipelines (3, CS) support blocks from HBM instead
+    of holding the whole (3, N) planes resident; per-chunk best-2 candidates
+    accumulate in a (n_chunks, TQ, 2·nbc) scratch cube (leading untiled dim →
+    dynamic stores are fine), and the exact k-extraction runs on the last
+    chunk step.  Compile time is O(1) in N."""
+    c = pl.program_id(2)
     q = q_ref[0]
     tq = q.shape[0]
     qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-    nbc = CS // BIN
-    n_chunks = n_pad // CS
+    nbc = cs // BIN
     bin_col = lax.broadcasted_iota(jnp.int32, (tq, BIN), 1)
 
-    def chunk_body(c, _):
-        off = pl.multiple_of(c * CS, CS)
-        sx = s_ref[0, 0:1, pl.ds(off, CS)]
-        sy = s_ref[0, 1:2, pl.ds(off, CS)]
-        sz = s_ref[0, 2:3, pl.ds(off, CS)]
-        d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
+    sx = s_ref[0, 0:1, :]
+    sy = s_ref[0, 1:2, :]
+    sz = s_ref[0, 2:3, :]
+    d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
+    off = (c * cs).astype(jnp.float32)
+    if radius2 is not None:
+        col_g = lax.broadcasted_iota(
+            jnp.int32, (tq, cs), 1).astype(jnp.float32) + off
+    ms, gs = [], []
+    for b in range(nbc):
+        blk = d2[:, b * BIN:(b + 1) * BIN]
         if radius2 is not None:
-            col_g = lax.broadcasted_iota(
-                jnp.int32, (tq, CS), 1).astype(jnp.float32) + off.astype(jnp.float32)
-        ms, gs = [], []
-        for b in range(nbc):
-            blk = d2[:, b * BIN:(b + 1) * BIN]
-            if radius2 is not None:
-                cg = col_g[:, b * BIN:(b + 1) * BIN]
-                blk = jnp.where(blk < radius2, cg, _INF + cg)
-            m1 = jnp.min(blk, axis=1, keepdims=True)
-            a1 = jnp.argmin(blk, axis=1).astype(jnp.int32)[:, None]
-            blk2 = jnp.where(bin_col == a1, _INF, blk)
-            m2 = jnp.min(blk2, axis=1, keepdims=True)
-            a2 = jnp.argmin(blk2, axis=1).astype(jnp.int32)[:, None]
-            ms.extend([m1, m2])
-            gs.extend([a1 + b * BIN, a2 + b * BIN])
-        cd_ref[:, pl.ds(c, 1), :] = jnp.concatenate(ms, axis=1)[:, None, :]
-        ci_ref[:, pl.ds(c, 1), :] = (jnp.concatenate(gs, axis=1) + off)[:, None, :]
-        return 0
+            cg = col_g[:, b * BIN:(b + 1) * BIN]
+            blk = jnp.where(blk < radius2, cg, _INF + cg)
+        m1 = jnp.min(blk, axis=1, keepdims=True)
+        a1 = jnp.argmin(blk, axis=1).astype(jnp.int32)[:, None]
+        blk2 = jnp.where(bin_col == a1, _INF, blk)
+        m2 = jnp.min(blk2, axis=1, keepdims=True)
+        a2 = jnp.argmin(blk2, axis=1).astype(jnp.int32)[:, None]
+        ms.extend([m1, m2])
+        gs.extend([a1 + b * BIN, a2 + b * BIN])
+    cd_ref[pl.ds(c, 1), :, :] = jnp.concatenate(ms, axis=1)[None]
+    ci_ref[pl.ds(c, 1), :, :] = (jnp.concatenate(gs, axis=1) + c * cs)[None]
 
-    lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    sub = lax.broadcasted_iota(jnp.int32, (tq, n_chunks, 2 * nbc), 1)
-    lane = lax.broadcasted_iota(jnp.int32, (tq, n_chunks, 2 * nbc), 2)
-    flat = sub * (2 * nbc) + lane
-    od_s[:] = jnp.zeros_like(od_s)
-    oi_s[:] = jnp.zeros_like(oi_s)
-    for j in range(k):
-        cand = cd_ref[:]
-        m = jnp.min(cand, axis=(1, 2), keepdims=True)      # (TQ,1,1)
-        sel = jnp.where(cand == m, flat, _BIGI)
-        pos = jnp.min(sel, axis=(1, 2), keepdims=True)
-        onehot = flat == pos
-        idx = jnp.sum(jnp.where(onehot, ci_ref[:], 0), axis=(1, 2),
-                      keepdims=True)                        # (TQ,1,1)
-        od_s[:, j:j + 1] = m[:, 0, :]
-        oi_s[:, j:j + 1] = idx[:, 0, :]
-        cd_ref[:] = jnp.where(onehot, _INF, cand)
-    od_ref[0] = od_s[:]
-    oi_ref[0] = oi_s[:]
+    @pl.when(c == n_chunks - 1)
+    def _extract():
+        sub = lax.broadcasted_iota(jnp.int32, (n_chunks, tq, 2 * nbc), 0)
+        lane = lax.broadcasted_iota(jnp.int32, (n_chunks, tq, 2 * nbc), 2)
+        flat = sub * (2 * nbc) + lane
+        oi_ref[0] = jnp.zeros_like(oi_ref[0])
+        od_ref[0] = jnp.zeros_like(od_ref[0])
+        for j in range(k):
+            cand = cd_ref[:]                                # (NC, TQ, L)
+            m = jnp.min(cand, axis=(0, 2), keepdims=True)   # (1, TQ, 1)
+            sel = jnp.where(cand == m, flat, _BIGI)
+            pos = jnp.min(sel, axis=(0, 2), keepdims=True)
+            onehot = flat == pos
+            idx = jnp.sum(jnp.where(onehot, ci_ref[:], 0), axis=(0, 2),
+                          keepdims=True)                    # (1, TQ, 1)
+            od_ref[0, :, j:j + 1] = m[0]
+            oi_ref[0, :, j:j + 1] = idx[0]
+            cd_ref[:] = jnp.where(onehot, _INF, cand)
 
 
 # static unroll compiles fastest for the common train sizes; the fori
 # variant keeps compile time flat for whole-room eval (N up to ~1M)
 _BIG_N = 32768
+TQ_BIG = 64       # small tile keeps the unrolled extraction working set in VMEM
+CS_BIG = 8192     # chunk → 2·nbc = 128 candidate lanes exactly (no padding)
 
 
-def _call_kernel(q, planes, k, n_pad, B, m_pad, radius2=None,
+def _call_kernel(q, planes, k, n_pad, B, m_pad_unused=None, radius2=None,
                  interpret=False):
     kpad = -(-k // BIN) * BIN
     big = n_pad > _BIG_N
+    tile = TQ_BIG if big else TQ
+    M = q.shape[1]
+    m_pad = -(-M // tile) * tile
+    if m_pad != M:
+        q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
     if big:
-        kern = functools.partial(_knn_kernel_big, k=k, n_pad=n_pad,
-                                 radius2=radius2)
-        scratch = [
-            pltpu.VMEM((TQ, n_pad // CS, 2 * (CS // BIN)), jnp.float32),
-            pltpu.VMEM((TQ, n_pad // CS, 2 * (CS // BIN)), jnp.int32),
-            pltpu.VMEM((TQ, kpad), jnp.float32),
-            pltpu.VMEM((TQ, kpad), jnp.int32),
-        ]
-    else:
-        kern = functools.partial(_knn_kernel, k=k, n_pad=n_pad,
-                                 radius2=radius2)
-        scratch = [
-            pltpu.VMEM((TQ, CS), jnp.float32),
-            pltpu.VMEM((TQ, 2 * (n_pad // BIN)), jnp.float32),
-            pltpu.VMEM((TQ, 2 * (n_pad // BIN)), jnp.int32),
-        ]
+        n_chunks = n_pad // CS_BIG
+        kern = functools.partial(_knn_kernel_big, k=k, n_chunks=n_chunks,
+                                 cs=CS_BIG, radius2=radius2)
+        return pl.pallas_call(
+            kern,
+            grid=(B, m_pad // tile, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, tile, 3), lambda b, t, c: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, CS_BIG), lambda b, t, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tile, kpad), lambda b, t, c: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, kpad), lambda b, t, c: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, m_pad, kpad), jnp.int32),
+                jax.ShapeDtypeStruct((B, m_pad, kpad), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_chunks, tile, 2 * (CS_BIG // BIN)), jnp.float32),
+                pltpu.VMEM((n_chunks, tile, 2 * (CS_BIG // BIN)), jnp.int32),
+            ],
+            interpret=interpret,
+        )(q, planes)
+    kern = functools.partial(_knn_kernel, k=k, n_pad=n_pad,
+                             radius2=radius2)
+    scratch = [
+        pltpu.VMEM((tile, CS), jnp.float32),
+        pltpu.VMEM((tile, 2 * (n_pad // BIN)), jnp.float32),
+        pltpu.VMEM((tile, 2 * (n_pad // BIN)), jnp.int32),
+    ]
     return pl.pallas_call(
         kern,
-        grid=(B, m_pad // TQ),
+        grid=(B, m_pad // tile),
         in_specs=[
-            pl.BlockSpec((1, TQ, 3), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, tile, 3), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TQ, kpad), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, tile, kpad), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TQ, kpad), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, tile, kpad), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -233,18 +257,15 @@ def knn_pallas(support: jnp.ndarray, query: jnp.ndarray, k: int,
     perm = jnp.asarray(_perm(N))
     sup = jnp.take(support, perm, axis=1)
 
-    n_pad = -(-N // CS) * CS
-    m_pad = -(-M // TQ) * TQ
+    gran = CS_BIG if N > _BIG_N else CS
+    n_pad = -(-N // gran) * gran
     if n_pad != N:
         sup = jnp.pad(sup, ((0, 0), (0, n_pad - N), (0, 0)),
                       constant_values=1e4)
-    q = query
-    if m_pad != M:
-        q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
 
     planes = jnp.transpose(sup, (0, 2, 1))            # (B, 3, n_pad)
 
-    oi, od = _call_kernel(q, planes, k, n_pad, B, m_pad,
+    oi, od = _call_kernel(query, planes, k, n_pad, B,
                           interpret=interpret)
     oi = oi[:, :M, :k]
     od = od[:, :M, :k]
@@ -268,17 +289,14 @@ def ball_query_pallas(support: jnp.ndarray, query: jnp.ndarray, radius: float,
     perm = jnp.asarray(_perm(N))
     sup = jnp.take(support, perm, axis=1)
 
-    n_pad = -(-N // CS) * CS
-    m_pad = -(-M // TQ) * TQ
+    gran = CS_BIG if N > _BIG_N else CS
+    n_pad = -(-N // gran) * gran
     if n_pad != N:
         sup = jnp.pad(sup, ((0, 0), (0, n_pad - N), (0, 0)),
                       constant_values=1e4)
-    q = query
-    if m_pad != M:
-        q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
     planes = jnp.transpose(sup, (0, 2, 1))
 
-    oi, od = _call_kernel(q, planes, k, n_pad, B, m_pad,
+    oi, od = _call_kernel(query, planes, k, n_pad, B,
                           radius2=float(radius) ** 2, interpret=interpret)
     oi = oi[:, :M, :k]
     od = od[:, :M, :k]
