@@ -75,6 +75,13 @@ class NumpyLoader:
                 self.num_workers)
         return self._pool
 
+    def __del__(self):
+        if self._pool is not None:
+            try:
+                self._pool.terminate()
+            except Exception:
+                pass
+
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
