@@ -126,16 +126,16 @@ def _knn_kernel_big(q_ref, s_ref, oi_ref, od_ref, cd_ref, ci_ref,
     sy = s_ref[0, 1:2, :]
     sz = s_ref[0, 2:3, :]
     d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
-    off = (c * cs).astype(jnp.float32)
     if radius2 is not None:
-        col_g = lax.broadcasted_iota(
-            jnp.int32, (tq, cs), 1).astype(jnp.float32) + off
+        # transform the whole chunk to index-priorities up front — slicing
+        # two separately-derived values per bin tripped a Mosaic layout
+        # check; a single pre-transformed d2 matches the kNN path's shape
+        col_g = (lax.broadcasted_iota(jnp.int32, (tq, cs), 1)
+                 + c * cs).astype(jnp.float32)
+        d2 = jnp.where(d2 < radius2, col_g, _INF + col_g)
     ms, gs = [], []
     for b in range(nbc):
         blk = d2[:, b * BIN:(b + 1) * BIN]
-        if radius2 is not None:
-            cg = col_g[:, b * BIN:(b + 1) * BIN]
-            blk = jnp.where(blk < radius2, cg, _INF + cg)
         m1 = jnp.min(blk, axis=1, keepdims=True)
         a1 = jnp.argmin(blk, axis=1).astype(jnp.int32)[:, None]
         blk2 = jnp.where(bin_col == a1, _INF, blk)
