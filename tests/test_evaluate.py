@@ -94,3 +94,18 @@ def test_whole_scene_voting_end_to_end(rng):
     assert "ambiguity" in results
     # every point voted exactly once per containing subcloud
     assert results["cm"].total > 0
+
+
+def test_validate_boundary_inner_path(rng):
+    """Runner validation with the miou_B_I flag (↔ validate_boundary_inner,
+    main_AA.py:431-513)."""
+    cfg = _cfg()
+    cfg.ambiguity_args.miou_B_I = True
+    runner = Runner(cfg, kind="aa")
+    from amcontrast3d_tpu.data import build_dataloader_from_cfg
+    loader = build_dataloader_from_cfg(1, cfg.dataset, None,
+                                       cfg.datatransforms, split="val")
+    cfg.steps_per_epoch = 1
+    state = runner.build_state(_prep_batch(next(iter(loader)), cfg))
+    miou, macc, oa, _, _ = runner.validate_boundary_inner(state, loader)
+    assert np.isfinite(miou) and np.isfinite(oa)
