@@ -58,7 +58,14 @@ def _pool(reduction: str):
 
 
 class LocalAggregation(nn.Module):
-    """Group → per-neighbor MLP → pool (↔ pointnext.py:27-78)."""
+    """Group → per-neighbor MLP → pool (↔ pointnext.py:27-78).
+
+    ``separable=True`` (default for the single-layer 'dp_fj' case) computes
+    the first conv as ``W·[dp; fj] = W_dp·dp + gather(W_f·f)`` — the feature
+    half of the matmul runs once per POINT instead of once per neighbor
+    (K× fewer MXU flops, one less (B, M, K, C) concat round-trip through
+    HBM); mathematically identical up to float associativity.
+    """
     channels: Sequence[int]
     norm_args: Any = None
     act_args: Any = None
@@ -67,21 +74,61 @@ class LocalAggregation(nn.Module):
     feature_type: str = "dp_fj"
     reduction: str = "max"
     last_act: bool = True
+    separable: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, p, f, training: bool = False):
-        grouper = create_grouper(self.group_args)
-        dp, fj = grouper(p, p, f)
-        fj = get_aggregation_features(p, dp, f, fj, self.feature_type)
         order = (self.conv_args or {}).get("order", "conv-norm-act")
         out_channels = list(self.channels[1:])
-        fj = MLPBlocks(out_channels, norm_args=self.norm_args,
-                       act_args=self.act_args, order=order,
-                       last_act=self.last_act, bn_axis_name=self.bn_axis_name,
-                       dtype=self.dtype)(fj, training=training)
-        return _pool(self.reduction)(fj)
+        grouper = create_grouper(self.group_args)
+        use_separable = (self.separable and self.feature_type == "dp_fj"
+                         and len(out_channels) == 1
+                         and order == "conv-norm-act"
+                         and _norm_name_local(self.norm_args) is not None
+                         and grouper.method in ("ballquery", "knn"))
+        if not use_separable:
+            dp, fj = grouper(p, p, f)
+            fj = get_aggregation_features(p, dp, f, fj, self.feature_type)
+            fj = MLPBlocks(out_channels, norm_args=self.norm_args,
+                           act_args=self.act_args, order=order,
+                           last_act=self.last_act,
+                           bn_axis_name=self.bn_axis_name,
+                           dtype=self.dtype)(fj, training=training)
+            return _pool(self.reduction)(fj)
+
+        from ..ops import ball_query, group_points, knn
+        out_ch = out_channels[0]
+        if grouper.method == "ballquery":
+            idx = ball_query(p, p, grouper.radius, grouper.nsample)
+        else:
+            idx, _ = knn(p, p, grouper.nsample)
+        # W_f·f once per point, then gather the projected features
+        hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
+                      name="w_f")(f)
+        hj = group_points(hf, idx)                       # (B, M, K, C_out)
+        dp = group_points(p, idx) - p[:, :, None, :]
+        if grouper.normalize_dp and grouper.method == "ballquery":
+            dp = dp / grouper.radius
+        hd = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
+                      name="w_dp")(dp)
+        h = hj + hd
+        norm = _norm_name_local(self.norm_args)
+        if norm is not None:
+            h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                             epsilon=1e-5, axis_name=self.bn_axis_name,
+                             dtype=jnp.float32)(h)
+        if self.last_act:
+            act = create_act(self.act_args)
+            if act is not None:
+                h = act(h)
+        return _pool(self.reduction)(h)
+
+
+def _norm_name_local(norm_args):
+    from .layers import _norm_name
+    return _norm_name(norm_args)
 
 
 class SetAbstraction(nn.Module):
