@@ -192,16 +192,47 @@ class SetAbstraction(nn.Module):
             ga["nsample"] = None
             ga["radius"] = None
         grouper = create_grouper(ga)
-        dp, fj = grouper(new_p, p, f)
-        fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
 
-        n_conv = len(channels) - 1
-        for i, ch in enumerate(channels[1:]):
-            last = i == n_conv - 1
-            fj = ConvBlock(ch, norm_args=self.norm_args,
-                           act_args=None if (last and use_res) else self.act_args,
-                           order=order, bn_axis_name=self.bn_axis_name,
-                           dtype=self.dtype)(fj, training=training)
+        use_separable = (not all_aggr and self.feature_type == "dp_fj"
+                         and len(channels) == 2
+                         and order == "conv-norm-act"
+                         and _norm_name_local(self.norm_args) is not None
+                         and grouper.method in ("ballquery", "knn"))
+        if use_separable:
+            # W·[dp; fj] = W_dp·dp + gather(W_f·f): project features once per
+            # SUPPORT point (pre-downsample), gather the projection
+            from ..ops import ball_query, group_points, knn
+            out_ch = channels[-1]
+            if grouper.method == "ballquery":
+                gidx = ball_query(p, new_p, grouper.radius, grouper.nsample)
+            else:
+                gidx, _ = knn(p, new_p, grouper.nsample)
+            hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
+                          name="w_f")(f)
+            hj = group_points(hf, gidx)
+            dp = group_points(p, gidx) - new_p[:, :, None, :]
+            if grouper.normalize_dp and grouper.method == "ballquery":
+                dp = dp / grouper.radius
+            hd = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
+                          name="w_dp")(dp)
+            fj = hj + hd
+            fj = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                              epsilon=1e-5, axis_name=self.bn_axis_name,
+                              dtype=jnp.float32)(fj)
+            if not use_res:
+                act = create_act(self.act_args)
+                if act is not None:
+                    fj = act(fj)
+        else:
+            dp, fj = grouper(new_p, p, f)
+            fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
+            n_conv = len(channels) - 1
+            for i, ch in enumerate(channels[1:]):
+                last = i == n_conv - 1
+                fj = ConvBlock(ch, norm_args=self.norm_args,
+                               act_args=None if (last and use_res) else self.act_args,
+                               order=order, bn_axis_name=self.bn_axis_name,
+                               dtype=self.dtype)(fj, training=training)
         f = jnp.max(fj, axis=-2)
         if use_res:
             act = create_act(self.act_args)
