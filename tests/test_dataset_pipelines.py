@@ -112,3 +112,41 @@ def test_scannet_dataset(tmp_path):
     assert d["x"].shape == (256, 3)
     assert d["x"].max() <= 255.0 and d["x"].min() >= 0.0
     assert set(np.unique(d["y"])).issubset(set(range(20)) | {-100})
+
+
+def test_validate_sphere_protocol(s3dis_root):
+    """Sphere-protocol validation: per-cloud logit accumulation
+    (↔ validate_sphere, main.py:437-508)."""
+    import jax
+    from amcontrast3d_tpu.data import NumpyLoader
+    from amcontrast3d_tpu.engine.runner import Runner, _prep_batch
+    from test_models import CLS_ARGS
+
+    enc_args = dict(NAME="PointNextEncoder", blocks=[1, 1, 1],
+                    strides=[1, 2, 2], width=8, in_channels=4, sa_layers=1,
+                    radius=0.5, nsample=8,
+                    aggr_args={"feature_type": "dp_fj", "reduction": "max"},
+                    group_args={"NAME": "ballquery"},
+                    norm_args={"norm": "bn"}, act_args={"act": "relu"})
+    cfg = EasyConfig()
+    cfg.update({
+        "dataset": {"common": {"NAME": "S3DISSphere",
+                               "data_root": s3dis_root, "test_area": 5,
+                               "voxel_size": 0.08, "in_radius": 1.5,
+                               "num_points": 128, "num_steps": 4,
+                               "num_epochs": 1}},
+        "feature_keys": "x,heights", "num_classes": 13,
+        "sched": "cosine", "lr": 0.01, "min_lr": 1e-5, "epochs": 1,
+        "optimizer": {"NAME": "adamw", "weight_decay": 1e-4},
+        "model": {"NAME": "BaseSeg", "encoder_args": enc_args,
+                  "decoder_args": {"decoder_stages": 2},
+                  "cls_args": CLS_ARGS},
+        "distributed": False, "steps_per_epoch": 1,
+    })
+    runner = Runner(cfg, kind="base")
+    from amcontrast3d_tpu.data import build_dataset_from_cfg
+    ds = build_dataset_from_cfg(cfg.dataset.common, {}, transform=None)
+    loader = NumpyLoader(ds, 2)
+    state = runner.build_state(_prep_batch(next(iter(loader)), cfg))
+    miou, macc, oa, _, _ = runner.validate_sphere(state, loader)
+    assert np.isfinite(oa)
