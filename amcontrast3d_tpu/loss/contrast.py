@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 
 from ..ops import group_points
@@ -155,6 +156,10 @@ def point_contrast_margin(p: jnp.ndarray, f: jnp.ndarray,
 
     nsample = args["nsample"]
     idx, posmask, dd = stage_neighborhood(p, labels_stage, nsample)
+    # tag the kNN outputs so the remat policy in contrast_head can save
+    # them: backward then rematerializes only the (B, N, K, C) neighbor
+    # gather + softmax intermediates, never the Pallas kNN itself.
+    idx, posmask, dd = checkpoint_name((idx, posmask, dd), "contrast_knn")
     a = ambiguity_function(posmask, dd, args.get("cctype", "Method2"),
                            args.get("ccbeta", 0.04))
     a = jax.lax.stop_gradient(a)
@@ -190,12 +195,24 @@ def contrast_head(up_stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     """
     labels0 = one_hot_labels(target, num_classes, ignore_index)
     p0 = up_stages[0][0]
+    pcm = lambda p, f, labels: point_contrast_margin(p, f, labels, args)
+    if args.get("remat", False):
+        # The (B, N_s, K, C) neighbor-feature gather dominates activation
+        # memory at flagship shapes (≈0.5 GB per stage per batch of 4).
+        # Rematerializing the contrast head halves loss-side activation
+        # memory (enables B=8/chip) at the cost of recomputing the gather
+        # + exp in backward; the kNN outputs are saved (see checkpoint_name
+        # in point_contrast_margin) so the Pallas kernel runs once.
+        pcm = jax.checkpoint(
+            pcm,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "contrast_knn"))
     loss_sum = 0.0
     target_ai_list: List[jnp.ndarray] = []
     for i in range(int(args.get("stages_num", 4))):
         p, f = up_stages[i]
         labels = subscene_labels(labels0, p0, p, i)
-        loss, a = point_contrast_margin(p, f, labels, args)
+        loss, a = pcm(p, f, labels)
         loss_sum = loss_sum + loss
         target_ai_list.append(a)
     return loss_sum, target_ai_list

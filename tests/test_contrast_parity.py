@@ -107,3 +107,36 @@ def test_contrast_method2_and_db_plus(rng):
         assert np.isfinite(float(l))
     assert float(l1) != float(l2)
     assert float(l1) != float(l3)
+
+
+def test_contrast_head_remat_matches(rng):
+    """ambiguity_args.remat=True (jax.checkpoint around each per-stage
+    contrast loss, kNN outputs saved) must be numerically identical to the
+    default path in both loss value and feature gradients."""
+    import jax
+    from amcontrast3d_tpu.loss.contrast import contrast_head
+
+    B, ncls = 2, 4
+    stages = []
+    for n, c in [(128, 16), (32, 24)]:
+        p = jnp.asarray(rng.rand(B, n, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(B, n, c).astype(np.float32))
+        stages.append((p, f))
+    t = jnp.asarray(rng.randint(0, ncls, (B, 128)))
+    base = dict(nsample=8, ccbeta=0.04, cctype="Method2", temperature=0.3,
+                supervisedCL="Method1", db="-m", margin="adaptive",
+                mu=-1, nu=0.5, stages_num=2)
+
+    def run(args):
+        def loss_fn(fs):
+            st = [(stages[i][0], fs[i]) for i in range(2)]
+            return contrast_head(st, t, ncls, None, args)[0]
+        feats = [f for _, f in stages]
+        return jax.value_and_grad(loss_fn)(feats)
+
+    l0, g0 = run(base)
+    l1, g1 = run(dict(base, remat=True))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
