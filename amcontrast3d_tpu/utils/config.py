@@ -85,7 +85,22 @@ class EasyConfig(dict):
             subkeys = key.split(".")
             for subkey in subkeys[:-1]:
                 current = current.setdefault(subkey, EasyConfig())
-            current[subkeys[-1]] = value
+            leaf = subkeys[-1]
+            # Guard boolean flags against truthy-string typos: a misspelt
+            # override like remat=Flase would otherwise land as the string
+            # "Flase" and silently read as True.
+            if (isinstance(value, str) and leaf in current
+                    and isinstance(current[leaf], bool)):
+                lowered = value.strip().lower()
+                if lowered in ("true", "yes", "1"):
+                    value = True
+                elif lowered in ("false", "no", "0"):
+                    value = False
+                else:
+                    raise ValueError(
+                        f"override {key}={value!r}: existing value is a "
+                        f"bool; expected true/false")
+            current[leaf] = value
 
     def dict(self) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
