@@ -139,3 +139,32 @@ def test_mm_aef_source_refinement(rng):
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["refine_rate"]))
+
+
+@pytest.mark.parametrize("kind", ["aa", "mm"])
+def test_train_step_loss_remat_identical(rng, kind):
+    """ambiguity_args.remat=True must leave the jitted train step numerically
+    unchanged (same loss from the same state/batch/rng) for both families
+    that route through the contrast head."""
+    if kind == "aa":
+        model = BaseSeg_AMContrast3D(encoder_args=ENCODER_ARGS,
+                                     decoder_args={}, cls_args=CLS_ARGS)
+        criterion = CrossEntropyAce()
+    else:
+        model = BaseSeg_M_AMContrast3D(encoder_args=ENCODER_ARGS,
+                                       decoder_args={}, cls_args=CLS_ARGS,
+                                       APM_args=APM_ARGS, AEF_args=AARGS)
+        criterion = CrossEntropyAcePre()
+    batch = _batch(rng)
+    tx = _tx()
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    rngk = jax.random.PRNGKey(1)
+    out = {}
+    for remat in (False, True):
+        aargs = dict(AARGS, remat=remat)
+        step = jax.jit(make_train_step(model, criterion, tx, kind, NCLS,
+                                       None, aargs))
+        s2, metrics = step(state, batch, rngk)
+        s2, metrics = step(s2, batch, rngk)  # 2nd step exercises the grads
+        out[remat] = float(metrics["loss"])
+    np.testing.assert_allclose(out[True], out[False], rtol=1e-6)
