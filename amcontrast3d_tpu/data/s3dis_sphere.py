@@ -80,6 +80,26 @@ class S3DISSphere:
             logging.info("sphere cache saved: %s", cache)
 
         self.trees = [cKDTree(c[0]) for c in self.clouds]
+
+        # validation projection inds: every ORIGINAL point maps to its nearest
+        # subsampled point so the eval protocol scores all raw points
+        # (↔ s3dis_sphere.py:256-275 `_proj.pkl`)
+        self.projections = self.raw_labels = None
+        if split != 'train':
+            proj_cache = os.path.join(
+                processed, f'sphere_{split}_{voxel_size:.3f}_proj.pkl')
+            if os.path.exists(proj_cache):
+                with open(proj_cache, 'rb') as f:
+                    self.projections, self.raw_labels = pickle.load(f)
+            else:
+                self.projections, self.raw_labels = [], []
+                for room, tree in zip(rooms, self.trees):
+                    cdata = np.load(os.path.join(raw_root, room + '.npy'))
+                    _, proj = tree.query(cdata[:, :3].astype(np.float32), k=1)
+                    self.projections.append(np.asarray(proj, np.int32))
+                    self.raw_labels.append(cdata[:, 6].astype(np.int64))
+                with open(proj_cache, 'wb') as f:
+                    pickle.dump((self.projections, self.raw_labels), f)
         # potential-based sampling state (one potential per subsampled point)
         rng = np.random.RandomState(42 if split != 'train' else None)
         self.potentials = [rng.rand(len(c[0])).astype(np.float64) * 1e-3

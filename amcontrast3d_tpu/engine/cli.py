@@ -36,8 +36,6 @@ def load_cfg(args, opts) -> EasyConfig:
         cfg.seed = random.randint(1, 10000)
     cfg.cfg_basename = os.path.splitext(os.path.basename(args.cfg))[0]
     cfg.cfg_path = args.cfg
-    if hasattr(cfg, "classes") is False and "dataset" in cfg:
-        pass
     return cfg
 
 
@@ -49,7 +47,9 @@ def main_cli(kind: str, argv=None):
     if mode == "resume" and cfg.get("pretrained_path"):
         resume_exp_directory(cfg, cfg.pretrained_path)
     else:
-        tags = [cfg.cfg_basename, f"ngpus{1}", f"seed{cfg.seed}"]
+        import jax
+        tags = [cfg.cfg_basename, f"ngpus{len(jax.devices())}",
+                f"seed{cfg.seed}"]
         generate_exp_directory(cfg, exp_name=tags)
     setup_logger_dist(cfg.run_dir, 0, name=cfg.cfg_basename)
 

@@ -180,7 +180,7 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
     """↔ ``test_boundary_inner`` (main_AA.py:516-802): per-cloud voxel-rank
     subclouds → model → scatter-mean voting → global CM (+ optional
     boundary/inner and ambiguity-bucket CMs)."""
-    eval_fn = runner.eval_step_fn()
+    predict = runner.predict_fn()
     aargs = dict(cfg.get("ambiguity_args", {}) or {})
     miou_b_i = bool(aargs.get("miou_B_I", False))
     action = bool(aargs.get("action", False))
@@ -222,10 +222,8 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
             batch = {
                 "pos": data["pos"][None],
                 "x": np.asarray(get_features_by_keys(data, cfg.feature_keys))[None],
-                "y": np.zeros((1, nb), np.int64),
             }
-            out = eval_fn(state, jax.device_put(batch))
-            logits = np.asarray(out["logits"])[0, :n]
+            logits = np.asarray(predict(state, jax.device_put(batch)))[0, :n]
             np.add.at(vote_sum, idx_part, logits)
             np.add.at(vote_cnt, idx_part, 1.0)
             sub_logits_cache = (idx_part, logits)

@@ -26,8 +26,8 @@ from ..utils import (AverageMeter, ConfusionMatrix, resume_checkpoint,
 from ..utils.summary import SummaryWriter
 from ..data.data_util import bucket_size, pad_cloud
 from .train import (build_tx, create_train_state, make_eval_step,
-                    make_sharded_eval_step, make_sharded_train_step,
-                    make_train_step)
+                    make_predict_step, make_sharded_eval_step,
+                    make_sharded_train_step, make_train_step)
 
 KIND_TO_CRITERION_KEY = {"base": "criterion_args",
                          "aa": "criterion_args_Ace",
@@ -108,6 +108,12 @@ class Runner:
             self._steps[key] = fn
         return self._steps[key]
 
+    def predict_fn(self):
+        """Jitted logits-only forward (host-scored eval paths)."""
+        if "predict" not in self._steps:
+            self._steps["predict"] = jax.jit(make_predict_step(self.model))
+        return self._steps["predict"]
+
     def put_batch(self, batch):
         if self.distributed:
             return shard_batch(batch, self.mesh)
@@ -158,20 +164,26 @@ class Runner:
             loss_meter = AverageMeter()
             cm = ConfusionMatrix(self.num_classes, self.ignore_index)
             extra_meters: Dict[str, AverageMeter] = {}
-            # keep metrics as device arrays during the epoch so steps
-            # pipeline (a per-step host fetch would serialize on the
-            # host↔device round-trip); convert once at epoch end
-            pending = []
+            # keep a 2-step lag of device metrics so steps pipeline (a
+            # per-step host fetch would serialize on the host↔device
+            # round-trip) without buffering the whole epoch on device
+            def _drain(m):
+                loss_meter.update(float(m["loss"]))
+                cm.update_matrix(m["cm"])
+                for k, v in m.items():
+                    if k.startswith("loss_") or k == "refine_rate":
+                        extra_meters.setdefault(k, AverageMeter()).update(float(v))
+
+            from collections import deque
+            pending = deque()
             for data in train_loader:
                 batch = self.put_batch(_prep_batch(data, cfg))
                 state, metrics = step(state, batch, rngk)
                 pending.append(metrics)
-            for metrics in pending:
-                loss_meter.update(float(metrics["loss"]))
-                cm.update_matrix(metrics["cm"])
-                for k, v in metrics.items():
-                    if k.startswith("loss_") or k == "refine_rate":
-                        extra_meters.setdefault(k, AverageMeter()).update(float(v))
+                if len(pending) > 2:
+                    _drain(pending.popleft())
+            while pending:
+                _drain(pending.popleft())
             miou, macc, oa, _, _ = cm.all_metrics()
             lr = float(self.lr_fn(epoch))
             extras = " ".join(f"{k} {m.avg:.4f}" for k, m in extra_meters.items())
@@ -219,7 +231,7 @@ class Runner:
         main_AA.py:431-513).  Padded duplicate points are sliced off on the
         host before the confusion-matrix update."""
         cfg = self.cfg
-        eval_fn = self.eval_step_fn()
+        predict = self.predict_fn()
         cm = ConfusionMatrix(self.num_classes, self.ignore_index)
         for data in val_loader:
             batch = _prep_batch(data, cfg)
@@ -232,8 +244,7 @@ class Runner:
                     padded.append(pad_cloud(sample, nb))
                 batch = {k: np.stack([p[k] for p in padded]) for k in
                          ("pos", "x", "y")}
-            out = eval_fn(state, jax.device_put(batch))
-            logits = np.asarray(out["logits"])[:, :n]
+            logits = np.asarray(predict(state, jax.device_put(batch)))[:, :n]
             pred = logits.argmax(-1)
             cm.update(pred, np.asarray(batch["y"])[:, :n])
         return cm.all_metrics()
@@ -248,7 +259,7 @@ class Runner:
 
         cfg = self.cfg
         aargs = dict(cfg.get("ambiguity_args", {}) or {})
-        eval_fn = self.eval_step_fn()
+        predict = self.predict_fn()
         cm = ConfusionMatrix(self.num_classes, self.ignore_index)
         cm_b = ConfusionMatrix(self.num_classes, self.ignore_index)
         cm_i = ConfusionMatrix(self.num_classes, self.ignore_index)
@@ -261,8 +272,7 @@ class Runner:
                           for i in range(b)]
                 batch = {k: np.stack([p[k] for p in padded])
                          for k in ("pos", "x", "y")}
-            out = eval_fn(state, jax.device_put(batch))
-            pred = np.asarray(out["logits"])[:, :n].argmax(-1)
+            pred = np.asarray(predict(state, jax.device_put(batch)))[:, :n].argmax(-1)
             y = np.asarray(batch["y"])[:, :n]
             cm.update(pred, y)
             for i in range(b):
@@ -286,25 +296,34 @@ class Runner:
         """Sphere-protocol validation (↔ validate_sphere, main.py:437-508):
         accumulate per-cloud logits over all sampled spheres (scatter-add by
         subsampled point index — the cross-GPU all_reduce of the reference
-        becomes a host accumulation), then score each cloud once."""
+        becomes a host accumulation), then score EVERY original point by
+        projecting it to its nearest subsampled point (main.py:474-482).
+        Unvisited subsampled points keep zero logits and argmax to class 0,
+        exactly as the reference's scatter-mean leaves them."""
         cfg = self.cfg
-        eval_fn = self.eval_step_fn()
+        predict = self.predict_fn()
         ds = val_loader.dataset
-        vote = [np.zeros((len(c[0]), self.num_classes), np.float32)
-                for c in ds.clouds]
+        sizes = np.asarray([len(c[0]) for c in ds.clouds], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        vote = np.zeros((int(offsets[-1]), self.num_classes), np.float32)
         for data in val_loader:
             batch = _prep_batch(data, cfg)
-            out = eval_fn(state, jax.device_put(batch))
-            logits = np.asarray(out["logits"])
+            logits = np.asarray(predict(state, jax.device_put(batch)),
+                                np.float32)
             cloud_idx = np.asarray(data["cloud_idx"]).reshape(-1)
             point_idx = np.asarray(data["point_idx"])
-            for b in range(len(cloud_idx)):
-                np.add.at(vote[int(cloud_idx[b])], point_idx[b], logits[b])
+            flat_idx = (point_idx + offsets[cloud_idx][:, None]).ravel()
+            flat_logits = logits.reshape(-1, self.num_classes)
+            # per-class bincount is ~10x faster than np.add.at's buffered ufunc
+            for c in range(self.num_classes):
+                vote[:, c] += np.bincount(flat_idx,
+                                          weights=flat_logits[:, c],
+                                          minlength=len(vote))
         cm = ConfusionMatrix(self.num_classes, self.ignore_index)
         for ci, c in enumerate(ds.clouds):
-            seen = vote[ci].sum(-1) != 0
-            if not seen.any():
-                continue
-            pred = vote[ci][seen].argmax(-1)
-            cm.update(pred, c[2][seen])
+            pred = vote[offsets[ci]:offsets[ci + 1]].argmax(-1)
+            if getattr(ds, "projections", None) is not None:
+                cm.update(pred[ds.projections[ci]], ds.raw_labels[ci])
+            else:
+                cm.update(pred, c[2])
         return cm.all_metrics()

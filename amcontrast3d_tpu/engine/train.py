@@ -126,6 +126,19 @@ def make_train_step(model, criterion, tx, kind: str, num_classes: int,
     return step
 
 
+def make_predict_step(model) -> Callable:
+    """Logits-only forward for host-scored eval paths (whole-scene voting,
+    sphere protocol) — no label input and no device confusion matrix, so the
+    eval batch needs no placeholder ``y`` and nothing is computed-then-dropped."""
+
+    def step(state: TrainState, batch: Dict) -> jnp.ndarray:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, batch["pos"], batch["x"], training=False)
+        return out[0] if isinstance(out, tuple) else out
+
+    return step
+
+
 def make_eval_step(model, kind: str, num_classes: int, ignore_index=None,
                    axis_name: Optional[str] = None) -> Callable:
     """Returns eval(state, batch) → metrics (logits + confusion matrix)."""
