@@ -66,6 +66,7 @@ class Runner:
 
         lr_fn, self.epochs = build_scheduler_from_cfg(cfg)
         self.lr_fn = lr_fn
+        self.plateau = None
         self._tx = None
         self._steps = {}
 
@@ -74,8 +75,16 @@ class Runner:
         steps_per_epoch = self.cfg.get("steps_per_epoch", 1)
         sched = as_step_schedule(self.lr_fn, steps_per_epoch,
                                  start_epoch=self.cfg.get("start_epoch", 1))
-        self._tx = build_tx(self.cfg.get("optimizer", {"NAME": "adamw"}),
-                            sched, self.cfg.get("grad_norm_clip"))
+        opt_cfg = dict(self.cfg.get("optimizer", {"NAME": "adamw"}) or {})
+        if opt_cfg.get("layer_decay") and "num_layers" not in opt_cfg:
+            # ↔ model.get_num_layers() in the reference factory
+            mcfg = dict(self.cfg.model)
+            opt_cfg["num_layers"] = int(
+                mcfg.get("depth", dict(mcfg.get("encoder_args", {}) or {})
+                         .get("depth", 12)))
+        self.plateau = getattr(self.lr_fn, "plateau", None)
+        self._tx = build_tx(opt_cfg, sched, self.cfg.get("grad_norm_clip"),
+                            plateau=self.plateau is not None)
         state = create_train_state(self.model, self._tx, example_batch,
                                    self.rng)
         if self.distributed:
@@ -186,6 +195,8 @@ class Runner:
                 _drain(pending.popleft())
             miou, macc, oa, _, _ = cm.all_metrics()
             lr = float(self.lr_fn(epoch))
+            if self.plateau is not None:
+                lr *= self.plateau.lr / self.plateau.base_lr
             extras = " ".join(f"{k} {m.avg:.4f}" for k, m in extra_meters.items())
             logging.info(
                 "Epoch %d LR %.6f loss %.4f train_miou %.2f train_oa %.2f "
@@ -205,6 +216,14 @@ class Runner:
                     is_best, best_val, best_epoch = True, val_miou, epoch
                 logging.info("Epoch %d val_miou %.2f (best %.2f @E%d)",
                              epoch, val_miou, best_val, best_epoch)
+            if self.plateau is not None and epoch > self.cfg.get(
+                    "warmup_epochs", 0):
+                # host-side metric-driven LR step (↔ scheduler.step(epoch,
+                # val_miou)); writes one scalar into opt_state
+                from ..scheduler.plateau_lr import set_plateau_scale
+                scale = self.plateau.step(val_miou)
+                state = state.replace(opt_state=set_plateau_scale(
+                    state.opt_state, scale))
             # per-epoch scalars (↔ main_AA.py:298-308 / main_MM.py:303-311)
             writer.add_scalar("train_loss", loss_meter.avg, epoch)
             writer.add_scalar("train_miou", miou, epoch)

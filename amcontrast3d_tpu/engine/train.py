@@ -47,11 +47,18 @@ def create_train_state(model, tx, batch: Dict, rng) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def build_tx(optimizer_cfg, lr_schedule, grad_norm_clip: Optional[float] = None):
+def build_tx(optimizer_cfg, lr_schedule, grad_norm_clip: Optional[float] = None,
+             plateau: bool = False):
     from ..optim import build_optimizer_from_cfg
     tx = build_optimizer_from_cfg(optimizer_cfg, lr=lr_schedule)
     if grad_norm_clip is not None and grad_norm_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_norm_clip), tx)
+    if plateau:
+        # host-controlled LR scale for the metric-driven plateau scheduler;
+        # OUTSIDE the base optimizer so it rescales the final update like a
+        # torch param-group LR change (scheduler/plateau_lr.py)
+        from ..scheduler.plateau_lr import scale_by_plateau
+        tx = optax.chain(tx, scale_by_plateau())
     return tx
 
 

@@ -5,7 +5,16 @@ Reference semantics reproduced:
 * weight-decay filtering — no decay on biases and 1-d (norm) parameters
   (``add_weight_decay``, optim_factory.py:66-81) via an optax mask;
 * name table covering the reference's custom implementations with their optax
-  equivalents; names without a maintained optax counterpart raise.
+  equivalents, plus TPU-native re-implementations of the reference's vendored
+  optimizers (adamp/sgdp/madgrad/lookahead — :mod:`optim.extras`);
+* ``lookahead_<name>`` prefix wraps any base optimizer
+  (optim_factory.py:302-304);
+* ``layer_decay`` cfg key applies ViT per-layer LR scales
+  (optim_factory.py:177-186).
+
+``adahessian`` (second-order, Hutchinson Hessian traces) remains a documented
+raise: it needs a second backward pass through the train step and is unused by
+every reference recipe.
 """
 from __future__ import annotations
 
@@ -13,6 +22,9 @@ from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 import optax
+
+from .extras import (adamp, lookahead, madgrad, scale_by_layer_decay, sgdp,
+                     vit_layer_id)
 
 
 def _decay_mask(params) -> Any:
@@ -37,6 +49,21 @@ def build_optimizer_from_cfg(cfg, lr: Optional[Callable] = None,
     b1, b2 = (betas if betas is not None else (0.9, 0.999))
     if lr is None:
         lr = float(cfg.get("lr", 1e-3))
+
+    # lookahead_<base> wraps the base optimizer (optim_factory.py:302-304)
+    if name.startswith("lookahead_"):
+        base_cfg = dict(cfg)
+        base_cfg["NAME"] = name[len("lookahead_"):]
+        base = build_optimizer_from_cfg(base_cfg, lr=lr)
+        return lookahead(base, alpha=float(cfg.get("lookahead_alpha", 0.5)),
+                         k=int(cfg.get("lookahead_k", 6)))
+
+    layer_decay = float(cfg.get("layer_decay", 0.0) or 0.0)
+    if 0.0 < layer_decay < 1.0:
+        base_cfg = {k: v for k, v in cfg.items() if k != "layer_decay"}
+        base = build_optimizer_from_cfg(base_cfg, lr=lr)
+        num_layers = int(cfg.get("num_layers", 12))
+        return optax.chain(base, scale_by_layer_decay(layer_decay, num_layers))
 
     mask = _decay_mask
     if name in ("adamw",):
@@ -69,11 +96,31 @@ def build_optimizer_from_cfg(cfg, lr: Optional[Callable] = None,
                            momentum=momentum)
     elif name == "lion":
         return optax.lion(lr, weight_decay=weight_decay, mask=mask)
+    elif name == "adamp":
+        # reference factory forces wd_ratio=0.01, nesterov=True
+        # (optim_factory.py:232)
+        return adamp(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+                     delta=float(cfg.get("delta", 0.1)),
+                     wd_ratio=float(cfg.get("wd_ratio", 0.01)),
+                     nesterov=bool(cfg.get("nesterov", True)))
+    elif name == "sgdp":
+        # reference factory forces nesterov=True (optim_factory.py:224)
+        return sgdp(lr, momentum=momentum,
+                    dampening=float(cfg.get("dampening", 0.0)),
+                    weight_decay=weight_decay,
+                    nesterov=bool(cfg.get("nesterov", True)), eps=eps,
+                    delta=float(cfg.get("delta", 0.1)),
+                    wd_ratio=float(cfg.get("wd_ratio", 0.1)))
+    elif name in ("madgrad", "madgradw"):
+        return madgrad(lr, momentum=momentum, weight_decay=weight_decay,
+                       eps=float(cfg.get("eps", 1e-6) if "eps" in cfg else 1e-6),
+                       decoupled_decay=name == "madgradw")
     else:
         raise ValueError(
             f"optimizer {name} is not supported on the TPU stack "
             f"(reference optim_factory names map to optax; {name} has no "
-            f"maintained optax equivalent)")
+            f"maintained optax equivalent — adahessian needs a second "
+            f"backward pass and is unused by every reference recipe)")
     if weight_decay:
         # coupled L2 (wd·param added to the gradient) — what torch does for
         # sgd/adam-style optimizers, with the reference's bias/norm filtering

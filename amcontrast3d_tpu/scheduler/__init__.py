@@ -72,10 +72,19 @@ def build_scheduler_from_cfg(cfg) -> Tuple[Callable[[int], float], int]:
             return min_lr + 0.5 * (lr - min_lr) * (1.0 - jnp.tanh(lb + (ub - lb) * t))
         return with_warmup(fn), epochs
     if name in ("plateau", "plateau_lr"):
-        # plateau needs a host-observed metric; approximate with multistep at
-        # 60%/80% like common practice, documented fallback.
-        ms = jnp.asarray([int(epochs * 0.6), int(epochs * 0.8)], dtype=jnp.float32)
-        return with_warmup(lambda e: lr * decay_rate ** jnp.sum(e >= ms)), epochs
+        # metric-driven: base LR is constant (after warmup); the plateau decay
+        # is a host-controlled scale inside opt_state (scheduler/plateau_lr.py)
+        from .plateau_lr import PlateauScheduler
+        fn = with_warmup(lambda e: jnp.asarray(lr, jnp.float32))
+        fn.plateau = PlateauScheduler(
+            base_lr=lr, mode=str(cfg.get("mode", "max")),
+            decay_rate=decay_rate,
+            patience_t=int(cfg.get("patience_epochs",
+                                   cfg.get("patience_t", 10))),
+            threshold=float(cfg.get("threshold", 1e-4)),
+            cooldown_t=int(cfg.get("cooldown_epochs", cfg.get("cooldown_t", 0))),
+            lr_min=min_lr)
+        return fn, epochs
     raise ValueError(f"scheduler {name} not supported")
 
 
