@@ -44,9 +44,22 @@ def stack_collate_fn(samples):
     return out
 
 
-def _load_item(args):
-    dataset, idx = args
-    return dataset[int(idx)]
+# Fork-inherited dataset handle: set immediately before Pool() forks so the
+# children inherit the dataset through copy-on-write memory instead of
+# pickling it per task (a presample cache is GBs — per-item pickling would be
+# slower than single-process; ↔ torch workers, dataset/build.py:44-98).
+_FORK_DATASET = None
+
+
+def _worker_init(seed: int):
+    # decorrelate per-worker numpy RNG streams (inherited state is identical
+    # across forks; ↔ torch DataLoader worker seeding)
+    import os as _os
+    np.random.seed((seed + _os.getpid() * 2654435761) % (2 ** 31 - 1))
+
+
+def _load_item(idx):
+    return _FORK_DATASET[int(idx)]
 
 
 class NumpyLoader:
@@ -56,7 +69,8 @@ class NumpyLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, collate_fn=stack_collate_fn,
-                 seed: int = 0, prefetch: bool = True, num_workers: int = 0):
+                 seed: int = 0, prefetch: bool = True, num_workers: int = 0,
+                 prefetch_depth: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,14 +79,23 @@ class NumpyLoader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.prefetch_depth = max(int(prefetch_depth), 1)
         self.num_workers = num_workers
         self._pool = None
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0:
             import multiprocessing
-            self._pool = multiprocessing.get_context("fork").Pool(
-                self.num_workers)
+            global _FORK_DATASET
+            _FORK_DATASET = self.dataset
+            try:
+                self._pool = multiprocessing.get_context("fork").Pool(
+                    self.num_workers, initializer=_worker_init,
+                    initargs=(self.seed,))
+            finally:
+                # children forked with their inherited reference; the parent
+                # global is no longer needed
+                _FORK_DATASET = None
         return self._pool
 
     def __del__(self):
@@ -112,7 +135,7 @@ class NumpyLoader:
     def _make_batch(self, sel):
         pool = self._get_pool()
         if pool is not None:
-            items = pool.map(_load_item, [(self.dataset, i) for i in sel])
+            items = pool.map(_load_item, [int(i) for i in sel])
         else:
             items = [self.dataset[int(i)] for i in sel]
         return self.collate_fn(items)
@@ -122,7 +145,7 @@ class NumpyLoader:
             for sel in self._index_batches():
                 yield self._make_batch(sel)
             return
-        q: "queue.Queue" = queue.Queue(maxsize=2)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = object()
 
         def worker():
@@ -163,12 +186,14 @@ def build_dataloader_from_cfg(batch_size: int, dataset_cfg,
                                      dataset_cfg.get(split, {}),
                                      transform=transform)
     shuffle = split == "train"
-    num_workers = int(dict(dataloader_cfg or {}).get("num_workers", 0) or 0)
+    dl_cfg = dict(dataloader_cfg or {})
+    num_workers = int(dl_cfg.get("num_workers", 0) or 0)
     import os as _os
     num_workers = min(num_workers, max(_os.cpu_count() - 1, 0))
     loader = NumpyLoader(dataset, batch_size, shuffle=shuffle,
                          drop_last=split == "train", seed=seed,
-                         num_workers=num_workers)
+                         num_workers=num_workers,
+                         prefetch_depth=int(dl_cfg.get("prefetch_depth", 2)))
     logging.info("dataset %s split %s: %d samples, %d batches",
                  dataset.__class__.__name__, split, len(dataset), len(loader))
     return loader

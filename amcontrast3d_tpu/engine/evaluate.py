@@ -41,6 +41,13 @@ def generate_data_list(cfg) -> List:
     if "scannet" in name:
         return sorted(glob.glob(os.path.join(
             cfg.dataset.common.data_root, cfg.dataset.test.split, "*.pth")))
+    if "semantickitti" in name:
+        # ↔ main_AA.py:60-65: each entry is a [velodyne.bin, .label] pair
+        from ..data.semantickitti import get_semantickitti_file_list
+        split_no = 1 if cfg.dataset.test.split == "val" else 2
+        return get_semantickitti_file_list(
+            os.path.join(cfg.dataset.common.data_root, "sequences"),
+            str(cfg.dataset.test.get("test_id", 0) + 11))[split_no]
     if "synthetic" in name:
         from ..data.synthetic import Synthetic
         ds = Synthetic(**{**dict(cfg.dataset.common),
@@ -64,6 +71,13 @@ def load_data(data_path, cfg):
         coord, feat = np.asarray(data[0]), np.asarray(data[1])
         label = np.asarray(data[2]) if cfg.dataset.test.split != "test" else None
         feat = np.clip((feat + 1) / 2.0, 0, 1).astype(np.float32)
+    elif "semantickitti" in name:
+        # ↔ main_AA.py:85-88: .bin scan + .label remapped via the read LUT
+        from ..data.semantickitti import (load_label_kitti, load_pc_kitti,
+                                          remap_lut_read)
+        coord = load_pc_kitti(data_path[0])
+        if cfg.dataset.test.split != "test":
+            label = load_label_kitti(data_path[1], remap_lut_read)
     elif "synthetic" in name:
         from ..data.synthetic import Synthetic
         ds = Synthetic(**{**dict(cfg.dataset.common),

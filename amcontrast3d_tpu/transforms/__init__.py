@@ -453,6 +453,155 @@ class RandomJitter:
         return self.jitter(data)
 
 
+@DataTransforms.register_module()
+class RandomScaleAndJitter:
+    """↔ point_transform_cpu.py:99-129: one anisotropic-or-isotropic scale
+    plus clipped gaussian jitter in a single transform."""
+
+    def __init__(self, scale=[0.8, 1.2], scale_xyz=[True, True, True],
+                 scale_anisotropic=False, jitter_sigma=0.01,
+                 jitter_clip=0.05, mirror=[-1, -1, -1], **kwargs):
+        self.scale = scale
+        self.scale_xyz = scale_xyz
+        self.anisotropic = scale_anisotropic
+        self.noise_sigma = jitter_sigma
+        self.noise_clip = jitter_clip
+        self.mirror = np.array(mirror)
+        self.use_mirroring = np.sum(self.mirror > 0) != 0
+
+    def __call__(self, data):
+        scale = np.random.uniform(self.scale[0], self.scale[1],
+                                  3 if self.anisotropic else 1)
+        if len(scale) == 1:
+            scale = scale.repeat(3)
+        if self.use_mirroring:
+            mirror = (np.random.rand(3) > self.mirror).astype(np.float32) * 2 - 1
+            scale *= mirror
+        for i, s in enumerate(self.scale_xyz):
+            if not s:
+                scale[i] = 1
+        jitter = np.clip(
+            self.noise_sigma * np.random.randn(data["pos"].shape[0], 3),
+            -self.noise_clip, self.noise_clip)
+        data["pos"] = (data["pos"] * scale + jitter).astype(np.float32)
+        return data
+
+
+@DataTransforms.register_module()
+class HueSaturationTranslation:
+    """↔ point_transform_cpu.py:240-301: random hue shift + saturation scale
+    on 0-255 RGB features via the colorsys-style hsv round-trip (including
+    the reference's uint8 truncation on the way back)."""
+
+    @staticmethod
+    def rgb_to_hsv(rgb):
+        rgb = rgb.astype("float")
+        hsv = np.zeros_like(rgb)
+        hsv[..., 3:] = rgb[..., 3:]
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        maxc = np.max(rgb[..., :3], axis=-1)
+        minc = np.min(rgb[..., :3], axis=-1)
+        hsv[..., 2] = maxc
+        mask = maxc != minc
+        hsv[mask, 1] = (maxc - minc)[mask] / maxc[mask]
+        rc = np.zeros_like(r)
+        gc = np.zeros_like(g)
+        bc = np.zeros_like(b)
+        rc[mask] = (maxc - r)[mask] / (maxc - minc)[mask]
+        gc[mask] = (maxc - g)[mask] / (maxc - minc)[mask]
+        bc[mask] = (maxc - b)[mask] / (maxc - minc)[mask]
+        hsv[..., 0] = np.select([r == maxc, g == maxc],
+                                [bc - gc, 2.0 + rc - bc], default=4.0 + gc - rc)
+        hsv[..., 0] = (hsv[..., 0] / 6.0) % 1.0
+        return hsv
+
+    @staticmethod
+    def hsv_to_rgb(hsv):
+        rgb = np.empty_like(hsv)
+        rgb[..., 3:] = hsv[..., 3:]
+        h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+        i = (h * 6.0).astype("uint8")
+        f = (h * 6.0) - i
+        p = v * (1.0 - s)
+        q = v * (1.0 - s * f)
+        t = v * (1.0 - s * (1.0 - f))
+        i = i % 6
+        conditions = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
+        rgb[..., 0] = np.select(conditions, [v, q, p, p, t, v], default=v)
+        rgb[..., 1] = np.select(conditions, [v, v, v, q, p, p], default=t)
+        rgb[..., 2] = np.select(conditions, [v, p, t, v, v, q], default=p)
+        return rgb.astype("uint8")
+
+    def __init__(self, hue_max=0.5, saturation_max=0.2, **kwargs):
+        self.hue_max = hue_max
+        self.saturation_max = saturation_max
+
+    def __call__(self, data):
+        hsv = HueSaturationTranslation.rgb_to_hsv(data["x"][:, :3])
+        hue_val = (np.random.rand() - 0.5) * 2 * self.hue_max
+        sat_ratio = 1 + (np.random.rand() - 0.5) * 2 * self.saturation_max
+        hsv[..., 0] = np.remainder(hue_val + hsv[..., 0] + 1, 1)
+        hsv[..., 1] = np.clip(sat_ratio * hsv[..., 1], 0, 1)
+        data["x"][:, :3] = np.clip(
+            HueSaturationTranslation.hsv_to_rgb(hsv), 0, 255)
+        return data
+
+
+def _one_hot_np(y, num_classes, on_value, off_value):
+    out = np.full((y.size, num_classes), off_value, np.float32)
+    out[np.arange(y.size), y.reshape(-1).astype(np.int64)] = on_value
+    return out
+
+
+def mixup_target(target, num_classes, lam=1.0, smoothing=0.0):
+    """↔ point_transformer_gpu.py:417-423 on host numpy."""
+    off_value = smoothing / num_classes
+    on_value = 1.0 - smoothing + off_value
+    y1 = _one_hot_np(target, num_classes, on_value, off_value)
+    y2 = _one_hot_np(target[::-1], num_classes, on_value, off_value)
+    return y1 * lam + y2 * (1.0 - lam)
+
+
+@DataTransforms.register_module()
+class Cutmix:
+    """↔ point_transformer_gpu.py:425-461: batch-level cutmix — splice the
+    last ``lam·N`` points of each cloud from the batch-flipped clouds and
+    return the lam-blended smoothed one-hot target.
+
+    Channels-last layout: ``pos``/``x`` are (B, N, C).  Call as
+    ``data, target = cutmix(data, target)`` on an already-collated batch."""
+
+    def __init__(self, cutmix_alpha=0.3, prob=1.0, label_smoothing=0.1,
+                 num_classes=1000, **kwargs):
+        self.cutmix_alpha = cutmix_alpha
+        self.mix_prob = prob
+        self.label_smoothing = label_smoothing
+        self.num_classes = num_classes
+
+    def _mix_batch(self, data):
+        lam = np.random.beta(self.cutmix_alpha, self.cutmix_alpha)
+        if hasattr(data, "keys"):
+            n = data["pos"].shape[1]
+            n_mix = int(n * lam)
+            if n_mix > 0:
+                # .copy(): torch's flip(0) materializes; numpy's [::-1] is an
+                # aliasing view and in-place assignment would corrupt the swap
+                data["pos"][:, -n_mix:] = data["pos"][::-1].copy()[:, -n_mix:]
+                if "x" in data.keys():
+                    data["x"][:, -n_mix:] = data["x"][::-1].copy()[:, -n_mix:]
+        else:
+            n_mix = int(data.shape[1] * lam)
+            if n_mix > 0:
+                data[:, -n_mix:] = data[::-1].copy()[:, -n_mix:]
+        return lam
+
+    def __call__(self, data, target):
+        lam = self._mix_batch(data)
+        target = mixup_target(target, self.num_classes, lam,
+                              self.label_smoothing)
+        return data, target
+
+
 class Compose:
     def __init__(self, transforms):
         self.transforms = transforms

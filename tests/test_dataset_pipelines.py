@@ -150,3 +150,87 @@ def test_validate_sphere_protocol(s3dis_root):
     state = runner.build_state(_prep_batch(next(iter(loader)), cfg))
     miou, macc, oa, _, _ = runner.validate_sphere(state, loader)
     assert np.isfinite(oa)
+
+
+@pytest.fixture
+def kitti_root(tmp_path):
+    rng = np.random.RandomState(7)
+    raw_ids = np.array([0, 10, 40, 48, 70, 81], dtype=np.uint32)
+    for seq in ("08", "11"):
+        d = tmp_path / "sequences" / seq
+        (d / "velodyne").mkdir(parents=True)
+        (d / "labels").mkdir()
+        for i in range(2):
+            pts = (rng.rand(3000, 4).astype(np.float32) * 8)
+            pts.tofile(d / "velodyne" / f"{i:06d}.bin")
+            labels = raw_ids[rng.randint(0, len(raw_ids), 3000)].astype(np.uint32)
+            labels.tofile(d / "labels" / f"{i:06d}.label")
+    return str(tmp_path)
+
+
+def test_semantickitti_whole_scene_eval(kitti_root, tmp_path):
+    """End-to-end kitti test path: generate_data_list → load_data →
+    voxel-rank voting → CM + benchmark .label export
+    (↔ main_AA.py:60-65, 85-88, 736-743)."""
+    from amcontrast3d_tpu.data.semantickitti import remap_lut_write
+    from amcontrast3d_tpu.engine.evaluate import (generate_data_list,
+                                                  load_data)
+    from amcontrast3d_tpu.engine.evaluate import \
+        test_whole_scenes as run_whole_scenes
+    from amcontrast3d_tpu.engine.runner import Runner
+    from test_models import CLS_ARGS
+
+    enc_args = dict(NAME="PointNextEncoder", blocks=[1, 1, 1],
+                    strides=[1, 2, 2], width=8, in_channels=4, sa_layers=1,
+                    radius=0.5, nsample=8,
+                    aggr_args={"feature_type": "dp_fj", "reduction": "max"},
+                    group_args={"NAME": "ballquery"},
+                    norm_args={"norm": "bn"}, act_args={"act": "relu"})
+    cls_args = dict(CLS_ARGS)
+    cls_args["num_classes"] = 19
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    cfg = EasyConfig()
+    cfg.update({
+        "dataset": {"common": {"NAME": "SemanticKITTI",
+                               "data_root": kitti_root,
+                               "voxel_size": 0.5},
+                    "test": {"split": "val", "test_id": 0}},
+        "feature_keys": "pos,heights", "num_classes": 19,
+        "ignore_index": -1, "eval_bucket": 512,
+        "sched": "cosine", "lr": 0.01, "min_lr": 1e-5, "epochs": 1,
+        "optimizer": {"NAME": "adamw", "weight_decay": 1e-4},
+        "model": {"NAME": "BaseSeg", "encoder_args": enc_args,
+                  "decoder_args": {"decoder_stages": 2},
+                  "cls_args": cls_args},
+        "distributed": False, "steps_per_epoch": 1,
+        "save_pred": True, "run_dir": str(run_dir),
+    })
+    data_list = generate_data_list(cfg)
+    assert len(data_list) == 2  # val = sequence 08
+    coord, feat, label, idx_points, voxel_idx, _, _ = load_data(
+        data_list[0], cfg)
+    assert feat is None and label is not None
+    assert set(np.unique(label)).issubset({-1, 0, 8, 10, 14, 18})
+    covered = np.unique(np.concatenate(idx_points))
+    assert len(covered) == len(coord)
+
+    runner = Runner(cfg, kind="base")
+    example = {"pos": np.zeros((1, 512, 3), np.float32),
+               "x": np.zeros((1, 512, 4), np.float32),
+               "y": np.zeros((1, 512), np.int64)}
+    state = runner.build_state(example)
+    results = run_whole_scenes(runner, state, data_list, cfg)
+    assert np.isfinite(results["oa"])
+    # benchmark export: uint32 raw ids via the write LUT
+    preds = sorted((run_dir / "predictions").glob("*.label"))
+    assert len(preds) == 2
+    out = np.fromfile(preds[0], dtype=np.uint32)
+    assert set(np.unique(out)).issubset(set(remap_lut_write.tolist()))
+
+    # test split = sequence 11 (labels ignored)
+    cfg.dataset.test.split = "test"
+    test_list = generate_data_list(cfg)
+    assert len(test_list) == 2
+    coord, feat, label, *_ = load_data(test_list[0], cfg)
+    assert label is None
