@@ -18,6 +18,17 @@ re-designed TPU-first:
 
 __version__ = "0.1.0"
 
+# The container's sitecustomize force-registers the TPU PJRT plugin in every
+# interpreter, which silently overrides an explicit JAX_PLATFORMS=cpu request
+# (a CPU-intended CLI run then lands on — and can wedge — the shared TPU).
+# Honor the env var explicitly, exactly like __graft_entry__ does.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 # Persistent XLA compilation cache: the flagship train step is a large graph
 # (~minutes to compile); cache compiled executables across processes.
 import os as _os

@@ -13,6 +13,7 @@ the YAML configs.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -23,6 +24,31 @@ from ..ops import group_points
 from .aef import one_hot_labels, stage_neighborhood, subscene_labels
 
 _EPS = 1e-12  # AEF/function.py:8
+
+# Fused Pallas contrast path (ops/contrast_pallas.py): 'auto' uses it on TPU
+# for the variants it covers, 'on' forces it (interpret-mode off-TPU, for
+# tests), 'off' always uses the XLA gather path.
+_FUSED = os.environ.get("AMC3D_FUSED_CONTRAST", "auto")
+
+
+def set_fused_contrast(mode: str):
+    global _FUSED
+    assert mode in ("auto", "on", "off")
+    _FUSED = mode
+
+
+def _use_fused(args: Dict, dist_func: str, contrast_func: str) -> bool:
+    if _FUSED == "off" or not args.get("fused", True):
+        return False
+    supported = (contrast_func == "contrast_softnn_margin"
+                 and args.get("supervisedCL", "Method1") == "Method1"
+                 and dist_func in ("dist_cos", "dist_dot")
+                 and args.get("margin", "adaptive") in
+                 ("constant", "adaptive", "learned")
+                 and args.get("db", "-m") in ("-m", "+m", "none"))
+    if _FUSED == "on":
+        return supported
+    return supported and jax.default_backend() == "tpu"
 
 
 # --------------------------------------------------------------------------
@@ -142,6 +168,86 @@ def contrast_softnn(dist, posmask, temperature=None):
 # per-stage heads
 # --------------------------------------------------------------------------
 
+def point_contrast_margin_fused(p: jnp.ndarray, f: jnp.ndarray,
+                                labels_stage: jnp.ndarray, args: Dict,
+                                dist_func: str = "dist_cos"
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-kernel stage contrast (↔ MarginContrast.py:220-259 for the
+    softnn-margin/Method1 family): the kNN supplies only the k-th-nearest
+    distance threshold; neighbor membership, similarities, the exp sums and
+    the ambiguity statistics all come from one dense Pallas kernel with a
+    matmul-only VJP (ops/contrast_pallas.py) — no (B, N, K, C) gather, no
+    backward scatter."""
+    from ..ops import ambiguity_from_stats, contrast_reductions, knn
+
+    nsample = args["nsample"]
+    idx, _ = knn(p, p, nsample)
+    # Re-derive the k-th distance from the selected neighbors with the same
+    # (q−s)² broadcast arithmetic the kernel uses: the kNN's own matmul-form
+    # d² (|q|²+|s|²−2qs) differs by catastrophic-cancellation rounding, which
+    # would flip the k-th point's own membership ~50% of the time.  The tiny
+    # relative cushion absorbs FMA-vs-VPU ulp differences; it can only admit
+    # a >k-th neighbor whose distance ties the k-th to within 1e-5.
+    neigh_xyz = group_points(p, idx)                       # (B, N, k, 3)
+    kth = jnp.max(jnp.sum((p[:, :, None, :] - neigh_xyz) ** 2, axis=-1),
+                  axis=-1) * (1.0 + 1e-5)
+    kth = jax.lax.stop_gradient(kth)
+    kth = checkpoint_name(kth, "contrast_knn")
+
+    lab = jnp.argmax(labels_stage, axis=-1).astype(jnp.float32)
+    temperature = args.get("temperature", None)
+    tinv = 1.0 / float(temperature) if temperature else 1.0
+    cctype = args.get("cctype", "Method2")
+
+    if dist_func == "dist_cos":
+        # per-vector normalization; the reference clamps the norm *product*
+        # at 1e-8 (torch cosine_similarity) — differs only for degenerate
+        # near-zero features (docs/DEVIATIONS.md)
+        norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True))
+        fsim = f / jnp.maximum(norm, 1e-8)
+    else:  # dist_dot (the reference's +1e-12 shift cancels in the ratio)
+        fsim = f
+
+    interpret = jax.default_backend() != "tpu"
+    red = contrast_reductions(p, fsim, lab, kth, tinv,
+                              cctype == "Method3", interpret,
+                              args.get("fused_precision"))
+    P, Q = red[..., 0], red[..., 1]
+    s_pos, s_neg = red[..., 2], red[..., 3]
+    n_pos, n_neg = red[..., 4], red[..., 5]
+    d_pos, d_neg = red[..., 6], red[..., 7]
+
+    a = ambiguity_from_stats(n_pos, n_neg, d_pos, d_neg,
+                             args.get("ccbeta", 0.04),
+                             method1=cctype == "Method1")
+    a = jax.lax.stop_gradient(a)
+
+    margin_mode = args.get("margin", "adaptive")
+    if margin_mode == "constant":
+        margin = jnp.full_like(a, args["nu"])
+    elif margin_mode == "adaptive":
+        margin = args["mu"] * a + args["nu"]
+    else:  # learned (MarginContrast.py:129-133): u/v are means over the K
+        # neighbor slots, so the denominator is the constant K
+        K = float(nsample - 1)
+        u, v = s_neg / K, s_pos / K
+        margin = (u - 1.0) * a + v
+
+    # db='-m' subtracts the margin on positive pairs pre-exp — a per-point
+    # factor exp(-m/T) on the positive sum (db='+m' likewise on negatives)
+    db = args.get("db", "-m")
+    pos, neg = P, Q
+    if db == "-m":
+        pos = P * jnp.exp(-margin * tinv)
+    elif db == "+m":
+        neg = Q * jnp.exp(margin * tinv)
+
+    per_point = -jnp.log(pos / (pos + neg) + _EPS)
+    valid = jnp.logical_and(a > 0, a <= 1).astype(per_point.dtype)
+    loss = jnp.sum(per_point * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return loss, a
+
+
 def point_contrast_margin(p: jnp.ndarray, f: jnp.ndarray,
                           labels_stage: jnp.ndarray, args: Dict,
                           dist_func: str = "dist_cos",
@@ -153,6 +259,10 @@ def point_contrast_margin(p: jnp.ndarray, f: jnp.ndarray,
     Returns (scalar loss, target ambiguity (B, N_s)).
     """
     from ..ops import ambiguity_function  # local import to avoid cycles
+
+    if _use_fused(args, dist_func, contrast_func):
+        return point_contrast_margin_fused(p, f, labels_stage, args,
+                                           dist_func)
 
     nsample = args["nsample"]
     idx, posmask, dd = stage_neighborhood(p, labels_stage, nsample)

@@ -184,6 +184,47 @@ class APM_pf_CrossAtt(nn.Module):
 
 
 @MODELS.register_module()
+class APM_p_Graph(nn.Module):
+    """Star-graph GCN ablation (separation.py:167-238, path '2').
+
+    Upstream this is experimental dead code (depends on torch-geometric's
+    ``GCNConv``, loops over points in Python, and is never referenced by any
+    config); the math it implements has a closed form on the star graph that
+    is reproduced here exactly:
+
+    per point i, nodes are x₀ = pᵢ and x_j = |pᵢ − p_{n_j}| over the k−1
+    nearest neighbors; edges 0→j plus self-loops give GCN degrees
+    deg₀ = 1, deg_j = 2, so one GCNConv(3→1) followed by the reference's
+    average pool over nodes reduces to
+
+      out_i = W·[ x₀·(1 + (k−1)/√2) + ½·Σ_j x_j ] / k + b.
+    """
+    nsample_k: int = 12
+    linear_mapping: bool = True
+    cross_attention: bool = False
+    feat_concate: bool = True
+    feature_dim: Sequence[int] = (64, 128, 256, 512)
+    channel: Sequence[int] = (64, 32, 16, 8, 4, 2)
+    dropout: Sequence[float] = (0.2, 0, 0, 0, 0, 0)
+    threshold: float = 0.7
+    threshold_max: float = 1.0
+    gamma: float = 0.5
+    fusion: str = "MIN"
+    att_dim: int = 3
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, p, f=None, stage: int = 0, training: bool = False):
+        k = self.nsample_k
+        idx, _ = knn(p, p, k)
+        rel = jnp.abs(group_points(p, idx[..., 1:]) - p[:, :, None, :])
+        agg = (p * (1.0 + (k - 1) / jnp.sqrt(2.0)) +
+               0.5 * jnp.sum(rel, axis=-2)) / float(k)       # (B, N, 3)
+        return nn.Dense(1, dtype=self.dtype, name="gcnconv")(agg)
+
+
+@MODELS.register_module()
 class APM_pp_SelfAtt(nn.Module):
     """Self-attention over lifted positions (APM/attention.py:134-168)."""
     att_dim: int = 16

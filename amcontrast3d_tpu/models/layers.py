@@ -84,7 +84,9 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, mask=None):
+        """``mask`` (broadcastable to x, True = real point) excludes padded
+        rows from the BatchNorm statistics — the variable/packed path."""
         norm = _norm_name(self.norm_args)
         act = create_act(self.act_args)
         use_bias = self.bias and norm is None
@@ -99,7 +101,7 @@ class ConvBlock(nn.Module):
                     epsilon=1e-5,
                     axis_name=self.bn_axis_name,
                     dtype=jnp.float32,
-                )(y)
+                )(y, mask=mask)
             if norm.startswith("ln"):
                 return nn.LayerNorm(epsilon=1e-6)(y)
             if norm.startswith("gn"):
@@ -139,7 +141,7 @@ class MLPBlocks(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, mask=None):
         n = len(self.channels)
         for i, ch in enumerate(self.channels):
             is_last = i == n - 1
@@ -150,5 +152,5 @@ class MLPBlocks(nn.Module):
                 order=self.order,
                 bn_axis_name=self.bn_axis_name,
                 dtype=self.dtype,
-            )(x, training=training)
+            )(x, training=training, mask=mask)
         return x

@@ -32,12 +32,12 @@ class VariableSegHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, f, training: bool = False):
+    def __call__(self, f, training: bool = False, mask=None):
         f = ConvBlock(self.in_channels,
                       norm_args=self.norm_args or {"norm": "bn1d"},
                       act_args=self.act_args or {"act": "relu"},
                       bn_axis_name=self.bn_axis_name,
-                      dtype=self.dtype)(f, training=training)
+                      dtype=self.dtype)(f, training=training, mask=mask)
         if self.dropout:
             f = nn.Dropout(self.dropout, deterministic=not training)(f)
         return ConvBlock(self.num_classes, norm_args=None, act_args=None,
@@ -206,9 +206,20 @@ class BasePartSeg(nn.Module):
 
 @MODELS.register_module()
 class VariableSeg(nn.Module):
-    """↔ VariableSeg (base_seg.py:190-204).  The reference's packed-offset
-    layout is replaced by dense padded batches, so this reduces to BaseSeg
-    with a VariableSegHead."""
+    """↔ VariableSeg (base_seg.py:190-204): the packed / variable-cloud
+    segmentation model.
+
+    The reference consumes the CUDA pointops offset layout (flat
+    ``(n_total, …)`` + per-cloud offsets — upstream it is actually dead code:
+    no encoder in the fork implements the 3-tuple ``forward_seg_feat(data)``
+    it calls).  TPU-first, the same semantics run on dense bucket-padded
+    batches with per-cloud ``n_valid`` counts (fixed shapes): neighbor
+    queries exclude padded points exactly (pushed out of range), FPS samples
+    ``n_valid // stride`` real points per cloud (prefix-consistency makes the
+    fixed-shape tail harmless), and all BatchNorm statistics are masked.
+    Valid-point outputs are invariant to the padding bucket — see
+    tests/test_variable_seg.py.  Use ``ops.masked.pack_to_dense`` /
+    ``dense_to_pack`` to convert the reference offset layout."""
     encoder_args: Any
     decoder_args: Any = None
     cls_args: Any = None
@@ -228,7 +239,16 @@ class VariableSeg(nn.Module):
                                 bn_axis_name=self.bn_axis_name,
                                 dtype=self.dtype)
 
-    def __call__(self, pos, features, training: bool = False):
-        p, f = self.encoder(pos, features, training=training)
-        f_out, _, _ = self.decoder(p, f, training=training)
-        return self.head(f_out, training=training)
+    def __call__(self, pos, features, n_valid=None, training: bool = False):
+        """pos (B, Nmax, 3), features (B, Nmax, C), n_valid (B,) int32 counts
+        (prefix-valid rows; None = fully dense batch)."""
+        if n_valid is None:
+            p, f = self.encoder(pos, features, training=training)
+            f_out, _, _ = self.decoder(p, f, training=training)
+            return self.head(f_out, training=training)
+        p, f, nv = self.encoder(pos, features, training=training,
+                                n_valid=n_valid)
+        f_out, _, _ = self.decoder(p, f, training=training, n_valid_list=nv)
+        from ..ops.masked import valid_mask
+        mask = valid_mask(n_valid, pos.shape[1])[:, :, None]
+        return self.head(f_out, training=training, mask=mask)

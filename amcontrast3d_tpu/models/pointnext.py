@@ -79,31 +79,41 @@ class LocalAggregation(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, p, f, training: bool = False):
+    def __call__(self, p, f, training: bool = False, n_valid=None):
         order = (self.conv_args or {}).get("order", "conv-norm-act")
         out_channels = list(self.channels[1:])
         grouper = create_grouper(self.group_args)
+        # variable/packed path: invalid support can never enter a ball/kNN
+        # set (pushed far), and BN statistics exclude padded rows
+        sup = p
+        bn_mask = None
+        if n_valid is not None:
+            from ..ops.masked import mask_positions_far, valid_mask
+            vm = valid_mask(n_valid, p.shape[1])
+            sup = mask_positions_far(p, vm)
+            bn_mask = vm[:, :, None, None]
         use_separable = (self.separable and self.feature_type == "dp_fj"
                          and len(out_channels) == 1
                          and order == "conv-norm-act"
                          and _norm_name_local(self.norm_args) is not None
                          and grouper.method in ("ballquery", "knn"))
         if not use_separable:
-            dp, fj = grouper(p, p, f)
+            dp, fj = grouper(p, sup, f)
             fj = get_aggregation_features(p, dp, f, fj, self.feature_type)
             fj = MLPBlocks(out_channels, norm_args=self.norm_args,
                            act_args=self.act_args, order=order,
                            last_act=self.last_act,
                            bn_axis_name=self.bn_axis_name,
-                           dtype=self.dtype)(fj, training=training)
+                           dtype=self.dtype)(fj, training=training,
+                                             mask=bn_mask)
             return _pool(self.reduction)(fj)
 
         from ..ops import ball_query, group_points, knn
         out_ch = out_channels[0]
         if grouper.method == "ballquery":
-            idx = ball_query(p, p, grouper.radius, grouper.nsample)
+            idx = ball_query(sup, p, grouper.radius, grouper.nsample)
         else:
-            idx, _ = knn(p, p, grouper.nsample)
+            idx, _ = knn(sup, p, grouper.nsample)
         # W_f·f once per point, then gather the projected features
         hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                       name="w_f")(f)
@@ -118,7 +128,7 @@ class LocalAggregation(nn.Module):
         if norm is not None:
             h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                              epsilon=1e-5, axis_name=self.bn_axis_name,
-                             dtype=jnp.float32)(h)
+                             dtype=jnp.float32)(h, mask=bn_mask)
         if self.last_act:
             act = create_act(self.act_args)
             if act is not None:
@@ -150,7 +160,7 @@ class SetAbstraction(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, p, f, training: bool = False):
+    def __call__(self, p, f, training: bool = False, n_valid=None):
         all_aggr = not self.is_head and self.stride == 1
         use_res = self.use_res and not all_aggr and not self.is_head
         order = (self.conv_args or {}).get("order", "conv-norm-act")
@@ -163,11 +173,22 @@ class SetAbstraction(nn.Module):
             for ch in channels[1:]:
                 f = ConvBlock(ch, norm_args=None, act_args=None, order=order,
                               dtype=self.dtype)(f, training=training)
-            return p, f
+            return (p, f) if n_valid is None else (p, f, n_valid)
 
+        new_n_valid = None
+        if n_valid is not None and all_aggr:
+            raise NotImplementedError("masked global aggregation")
         if not all_aggr:
             npoint = p.shape[1] // self.stride
-            if self.sampler.lower() == "fps":
+            if n_valid is not None:
+                from ..ops.masked import fps_masked, stride_counts
+                # per-cloud subsampled size = n_valid // stride (the
+                # reference's variable-FPS offset arithmetic); FPS is
+                # prefix-consistent so rows ≥ that count are simply unused
+                idx = fps_masked(p, npoint, n_valid)
+                new_n_valid = jnp.minimum(stride_counts(n_valid, self.stride),
+                                          npoint)
+            elif self.sampler.lower() == "fps":
                 idx = furthest_point_sample(p, npoint)
             else:
                 idx = random_sample(p, npoint, self.make_rng("sampling"))
@@ -193,6 +214,13 @@ class SetAbstraction(nn.Module):
             ga["radius"] = None
         grouper = create_grouper(ga)
 
+        sup = p
+        bn_mask = None
+        if n_valid is not None:
+            from ..ops.masked import mask_positions_far, valid_mask
+            sup = mask_positions_far(p, valid_mask(n_valid, p.shape[1]))
+            bn_mask = valid_mask(new_n_valid, new_p.shape[1])[:, :, None, None]
+
         use_separable = (not all_aggr and self.feature_type == "dp_fj"
                          and len(channels) == 2
                          and order == "conv-norm-act"
@@ -204,13 +232,13 @@ class SetAbstraction(nn.Module):
             from ..ops import ball_query, group_points, knn
             out_ch = channels[-1]
             if grouper.method == "ballquery":
-                gidx = ball_query(p, new_p, grouper.radius, grouper.nsample)
+                gidx = ball_query(sup, new_p, grouper.radius, grouper.nsample)
             else:
-                gidx, _ = knn(p, new_p, grouper.nsample)
+                gidx, _ = knn(sup, new_p, grouper.nsample)
             hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                           name="w_f")(f)
             hj = group_points(hf, gidx)
-            dp = group_points(p, gidx) - new_p[:, :, None, :]
+            dp = group_points(sup, gidx) - new_p[:, :, None, :]
             if grouper.normalize_dp and grouper.method == "ballquery":
                 dp = dp / grouper.radius
             hd = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
@@ -218,13 +246,13 @@ class SetAbstraction(nn.Module):
             fj = hj + hd
             fj = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                               epsilon=1e-5, axis_name=self.bn_axis_name,
-                              dtype=jnp.float32)(fj)
+                              dtype=jnp.float32)(fj, mask=bn_mask)
             if not use_res:
                 act = create_act(self.act_args)
                 if act is not None:
                     fj = act(fj)
         else:
-            dp, fj = grouper(new_p, p, f)
+            dp, fj = grouper(new_p, sup, f)
             fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
             n_conv = len(channels) - 1
             for i, ch in enumerate(channels[1:]):
@@ -232,12 +260,13 @@ class SetAbstraction(nn.Module):
                 fj = ConvBlock(ch, norm_args=self.norm_args,
                                act_args=None if (last and use_res) else self.act_args,
                                order=order, bn_axis_name=self.bn_axis_name,
-                               dtype=self.dtype)(fj, training=training)
+                               dtype=self.dtype)(fj, training=training,
+                                                 mask=bn_mask)
         f = jnp.max(fj, axis=-2)
         if use_res:
             act = create_act(self.act_args)
             f = act(f + identity)
-        return new_p, f
+        return (new_p, f) if n_valid is None else (new_p, f, new_n_valid)
 
 
 class FeaturePropagation(nn.Module):
@@ -250,8 +279,13 @@ class FeaturePropagation(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pf1, pf2=None, training: bool = False):
+    def __call__(self, pf1, pf2=None, training: bool = False, n_valid=None):
+        """``n_valid``: optional (fine_counts, coarse_counts) pair for the
+        variable/packed path — invalid coarse points are pushed out of the
+        3-NN sets and padded fine rows are excluded from BN statistics."""
         if not self.upsample:
+            if n_valid is not None:
+                raise NotImplementedError("masked global FP")
             _, f = pf1
             f_global = jnp.mean(f, axis=1)  # (B, C)
             g = nn.Dense(self.mlp[1], dtype=self.dtype)(f_global)
@@ -265,12 +299,18 @@ class FeaturePropagation(nn.Module):
             return f
         p1, f1 = pf1
         p2, f2 = pf2
+        bn_mask = None
+        if n_valid is not None:
+            from ..ops.masked import mask_positions_far, valid_mask
+            nv1, nv2 = n_valid
+            p2 = mask_positions_far(p2, valid_mask(nv2, p2.shape[1]))
+            bn_mask = valid_mask(nv1, p1.shape[1])[:, :, None]
         upsampled = three_interpolation(p1, p2, f2)
         f = jnp.concatenate([f1, upsampled], axis=-1) if f1 is not None else upsampled
         for ch in self.mlp[1:]:
             f = ConvBlock(ch, norm_args=self.norm_args, act_args=self.act_args,
                           bn_axis_name=self.bn_axis_name,
-                          dtype=self.dtype)(f, training=training)
+                          dtype=self.dtype)(f, training=training, mask=bn_mask)
         return f
 
 
@@ -290,7 +330,7 @@ class InvResMLP(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, p, f, training: bool = False):
+    def __call__(self, p, f, training: bool = False, n_valid=None):
         aggr = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
         identity = f
         f = LocalAggregation(
@@ -301,7 +341,11 @@ class InvResMLP(nn.Module):
             feature_type=aggr.get("feature_type", "dp_fj"),
             reduction=aggr.get("reduction", "max"),
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-        )(p, f, training=training)
+        )(p, f, training=training, n_valid=n_valid)
+        bn_mask = None
+        if n_valid is not None:
+            from ..ops.masked import valid_mask
+            bn_mask = valid_mask(n_valid, p.shape[1])[:, :, None]
         mid = int(self.in_channels * self.expansion)
         if self.num_posconvs < 1:
             channels = []
@@ -316,7 +360,7 @@ class InvResMLP(nn.Module):
             f = ConvBlock(ch, norm_args=self.norm_args,
                           act_args=None if (last and not self.less_act) else self.act_args,
                           order=order, bn_axis_name=self.bn_axis_name,
-                          dtype=self.dtype)(f, training=training)
+                          dtype=self.dtype)(f, training=training, mask=bn_mask)
         if f.shape[-1] == identity.shape[-1] and self.use_res:
             f = f + identity
         act = create_act(self.act_args)
@@ -337,7 +381,7 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, p, f, training: bool = False):
+    def __call__(self, p, f, training: bool = False, n_valid=None):
         aggr = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
         identity = f
         mid = self.in_channels * self.expansion
@@ -348,7 +392,7 @@ class ResBlock(nn.Module):
             feature_type=aggr.get("feature_type", "dp_fj"),
             reduction=aggr.get("reduction", "max"),
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-        )(p, f, training=training)
+        )(p, f, training=training, n_valid=n_valid)
         if f.shape[-1] == identity.shape[-1] and self.use_res:
             f = f + identity
         act = create_act(self.act_args)
@@ -399,10 +443,13 @@ class PointNextEncoder(nn.Module):
         return self.channel_list[-1]
 
     @nn.compact
-    def __call__(self, p0, f0, training: bool = False
+    def __call__(self, p0, f0, training: bool = False, n_valid=None
                  ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
         """Returns per-stage position / feature lists, index 0 = the input
-        (len = num_stages + 1, like ``forward_seg_feat``, pointnext.py:443-455)."""
+        (len = num_stages + 1, like ``forward_seg_feat``, pointnext.py:443-455).
+
+        With ``n_valid`` (B,) counts (the variable/packed path) a third list
+        of per-stage valid counts is returned as well."""
         norm_args = self.norm_args or {"norm": "bn"}
         act_args = self.act_args or {"act": "relu"}
         aggr_args = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
@@ -419,14 +466,15 @@ class PointNextEncoder(nn.Module):
             block_cls = nn.remat(block_cls, static_argnums=(3,))
 
         p_list, f_list = [p0], [f0]
+        nv_list = [n_valid]
         in_ch = self.in_channels
-        p, f = p0, f0
+        p, f, nv = p0, f0, n_valid
         for i in range(len(self.blocks)):
             is_head = i == 0 and self.strides[i] == 1
             ga = dict(self.group_args or {"NAME": "ballquery"})
             ga["radius"] = radii[i][0]
             ga["nsample"] = nsamples[i][0]
-            p, f = sa_cls(
+            sa = sa_cls(
                 in_channels=in_ch, out_channels=channels[i],
                 layers=self.sa_layers if not is_head else 1,
                 stride=self.strides[i], group_args=ga,
@@ -435,21 +483,32 @@ class PointNextEncoder(nn.Module):
                 feature_type=aggr_args.get("feature_type", "dp_fj"),
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name=f"enc{i}_sa",
-            )(p, f, training)
+            )
+            if nv is None:
+                p, f = sa(p, f, training)
+            else:
+                p, f, nv = sa(p, f, training, n_valid=nv)
             in_ch = channels[i]
             for j in range(1, self.blocks[i]):
                 gaj = dict(self.group_args or {"NAME": "ballquery"})
                 gaj["radius"] = radii[i][j]
                 gaj["nsample"] = nsamples[i][j]
-                p, f = block_cls(
+                block = block_cls(
                     in_channels=in_ch, aggr_args=aggr_args,
                     norm_args=norm_args, act_args=act_args, group_args=gaj,
                     conv_args=self.conv_args, expansion=self.expansion,
                     use_res=self.use_res, bn_axis_name=self.bn_axis_name,
                     dtype=self.dtype, name=f"enc{i}_block{j}",
-                )(p, f, training)
+                )
+                if nv is None:
+                    p, f = block(p, f, training)
+                else:
+                    p, f = block(p, f, training, n_valid=nv)
             p_list.append(p)
             f_list.append(f)
+            nv_list.append(nv)
+        if n_valid is not None:
+            return p_list, f_list, nv_list
         return p_list, f_list
 
 
@@ -491,7 +550,8 @@ class PointNextDecoder(nn.Module):
     def __call__(self, p: List[jnp.ndarray], f: List[jnp.ndarray],
                  a_list: Optional[List[jnp.ndarray]] = None,
                  a_map_list: Optional[List[jnp.ndarray]] = None,
-                 training: bool = False):
+                 training: bool = False,
+                 n_valid_list: Optional[List[jnp.ndarray]] = None):
         ecl = list(self.encoder_channel_list)
         skip_channels = ecl[:-1]
         if len(skip_channels) < self.decoder_stages:
@@ -511,11 +571,15 @@ class PointNextDecoder(nn.Module):
         up_features: List[jnp.ndarray] = [None] * n
         refine_rates = []
         for i in range(-1, -n - 1, -1):
+            nv_pair = None
+            if n_valid_list is not None:
+                nv_pair = (n_valid_list[i - 1], n_valid_list[i])
             f[i - 1] = FeaturePropagation(
                 mlps[i], norm_args=norm_args, act_args=act_args,
                 bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                 name=f"fp{n + i}",
-            )([p[i - 1], f[i - 1]], [p[i], f[i]], training=training)
+            )([p[i - 1], f[i - 1]], [p[i], f[i]], training=training,
+              n_valid=nv_pair)
             up_features[i] = f[i - 1]
             if self.refine and a_list is not None:
                 from .refine import dual_masks, map_sum

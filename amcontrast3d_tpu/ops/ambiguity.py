@@ -22,6 +22,36 @@ import jax.numpy as jnp
 _EPS = 1e-12  # AEF/function.py:8
 
 
+def ambiguity_from_stats(n_pos: jnp.ndarray, n_neg: jnp.ndarray,
+                         d_pos: jnp.ndarray, d_neg: jnp.ndarray,
+                         ccbeta: float = 0.04,
+                         method1: bool = False) -> jnp.ndarray:
+    """Ambiguity from pre-reduced neighborhood statistics.
+
+    n_pos/n_neg: (...,) same-/different-label neighbor counts;
+    d_pos/d_neg: (...,) summed (already squared/rooted per cctype) distances
+    to those neighbors.  Used directly by the fused contrast kernel
+    (ops/contrast_pallas.py), and by :func:`ambiguity_function` after it
+    reduces the (…, K) masks.
+    """
+    mask_num = n_pos
+    maxc = jnp.maximum(jnp.max(mask_num), 1.0)           # global max, ≥1
+    a_hard = jnp.abs(mask_num - maxc) / maxc
+    boundary = jnp.logical_and(mask_num > 0, mask_num < maxc)
+
+    if method1:
+        d_pos = jnp.full_like(n_pos, 5.0)
+        d_neg = jnp.full_like(n_neg, 5.0)
+
+    # Guard zero denominators (only hit at non-boundary points, whose value
+    # is overwritten by a_hard below) to keep the graph NaN-free.
+    cc_pos = n_pos / jnp.maximum(d_pos, _EPS)
+    cc_neg = n_neg / jnp.maximum(d_neg, _EPS)
+    a_soft = 1.0 / (1.0 + jnp.exp(ccbeta * (cc_pos - cc_neg)))  # function.py:10-14, t=e
+
+    return jnp.where(boundary, a_soft, a_hard).astype(jnp.float32)
+
+
 def ambiguity_function(posmask: jnp.ndarray, dd: jnp.ndarray,
                        cctype: str = "Method2", ccbeta: float = 0.04
                        ) -> jnp.ndarray:
@@ -38,16 +68,11 @@ def ambiguity_function(posmask: jnp.ndarray, dd: jnp.ndarray,
     K = posmask.shape[-1]
     pm = posmask.astype(jnp.float32)
     mask_num = jnp.sum(pm, axis=-1)                      # (...,)
-    maxc = jnp.maximum(jnp.max(mask_num), 1.0)           # global max, ≥1
-    a_hard = jnp.abs(mask_num - maxc) / maxc
-    boundary = jnp.logical_and(mask_num > 0, mask_num < maxc)
-
     n_pos = mask_num
     n_neg = K - mask_num
 
     if cctype == "Method1":
-        d_pos = jnp.full_like(n_pos, 5.0)
-        d_neg = jnp.full_like(n_neg, 5.0)
+        d_pos = d_neg = jnp.zeros_like(n_pos)
     elif cctype == "Method2":
         d_pos = jnp.sum(pm * dd, axis=-1)
         d_neg = jnp.sum((1.0 - pm) * dd, axis=-1)
@@ -58,13 +83,8 @@ def ambiguity_function(posmask: jnp.ndarray, dd: jnp.ndarray,
     else:
         raise ValueError(f"unknown cctype {cctype}")
 
-    # Guard zero denominators (only hit at non-boundary points, whose value
-    # is overwritten by a_hard below) to keep the graph NaN-free.
-    cc_pos = n_pos / jnp.maximum(d_pos, _EPS)
-    cc_neg = n_neg / jnp.maximum(d_neg, _EPS)
-    a_soft = 1.0 / (1.0 + jnp.exp(ccbeta * (cc_pos - cc_neg)))  # function.py:10-14, t=e
-
-    return jnp.where(boundary, a_soft, a_hard).astype(jnp.float32)
+    return ambiguity_from_stats(n_pos, n_neg, d_pos, d_neg, ccbeta,
+                                method1=cctype == "Method1")
 
 
 def ambiguity_histogram(a: jnp.ndarray, nu: float,

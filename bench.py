@@ -6,6 +6,10 @@ CrossEntropyAce objective incl. 4-stage kNN ambiguity + contrast) on
 synthetic clouds — the BASELINE.md north-star throughput metric
 (points/sec/chip, no published reference value: vs_baseline null).
 
+Also reports (in "detail"): step wall-clock, model-FLOPs utilization
+(XLA cost-analysis FLOPs ÷ step time ÷ chip peak) and the eval-path
+(inference forward) throughput at the same shapes.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -20,13 +24,28 @@ os.environ.setdefault(
 
 import numpy as np
 
+# bf16 peak matmul throughput per chip (MFU denominator, the standard
+# convention even for fp32-heavy programs)
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v4": 275e12, "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+}
+
+
+def _peak(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for key, val in _PEAK_FLOPS.items():
+        if key.lower() in str(kind).lower():
+            return val
+    return 197e12
+
 
 def main():
     import jax
 
     from __graft_entry__ import AMBIGUITY_ARGS, _batch, _flagship_cfg
     from amcontrast3d_tpu.engine import (build_tx, create_train_state,
-                                         make_train_step)
+                                         make_predict_step, make_train_step)
     from amcontrast3d_tpu.loss import CrossEntropyAce
     from amcontrast3d_tpu.models import BaseSeg_AMContrast3D
     from amcontrast3d_tpu.scheduler import (as_step_schedule,
@@ -47,11 +66,22 @@ def main():
 
     batch = _batch(B, N)
     state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model, criterion, tx, "aa", 13, None,
-                                   AMBIGUITY_ARGS), donate_argnums=(0,))
+    step_fn = make_train_step(model, criterion, tx, "aa", 13, None,
+                              AMBIGUITY_ARGS)
+    jit_step = jax.jit(step_fn, donate_argnums=(0,))
     rngk = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # AOT-compile once; the same executable provides the XLA FLOPs estimate
+    # for MFU and runs the timing loop (no duplicate 10-minute compile).
+    step = jit_step.lower(state, batch, rngk).compile()
+    flops = None
+    try:
+        cost = step.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
     state, metrics = step(state, batch, rngk)
     _ = float(metrics["loss"])
 
@@ -63,15 +93,35 @@ def main():
         _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 
+    detail = {"batch": B, "points": N, "step_ms": round(dt * 1e3, 2),
+              "device": str(jax.devices()[0]),
+              "loss": float(metrics["loss"])}
+    if flops:
+        detail["train_step_tflops"] = round(flops / 1e12, 2)
+        detail["mfu_pct"] = round(
+            flops / dt / _peak(jax.devices()[0]) * 100.0, 2)
+
+    # eval-path (inference forward) throughput at the same shapes
+    try:
+        predict = jax.jit(make_predict_step(model))
+        ebatch = {"pos": batch["pos"], "x": batch["x"]}
+        _ = np.asarray(predict(state, ebatch))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = np.asarray(predict(state, ebatch))
+        edt = (time.perf_counter() - t0) / iters
+        detail["eval_points_per_sec"] = round(B * N / edt, 1)
+        detail["eval_step_ms"] = round(edt * 1e3, 2)
+    except Exception:
+        pass
+
     pts_per_sec = B * N / dt
     result = {
         "metric": "train_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),
         "unit": "points/s",
         "vs_baseline": None,
-        "detail": {"batch": B, "points": N, "step_ms": round(dt * 1e3, 2),
-                   "device": str(jax.devices()[0]),
-                   "loss": float(metrics["loss"])},
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -1,0 +1,171 @@
+"""Fused contrast kernel (ops/contrast_pallas.py) vs the XLA gather path.
+
+Both compute the same math (MarginContrast.py:220-259); the fused kernel
+replaces the neighbor index gathers with a k-th-distance threshold and the
+(B,N,K,C) feature gather with dense tiled matmuls.  On CPU the kernel runs
+in interpret mode and the kNN backend is exact, so the two paths must agree
+to float tolerance (same neighbor sets, no ties with random data).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amcontrast3d_tpu.loss import contrast as C
+from amcontrast3d_tpu.loss.aef import one_hot_labels, stage_neighborhood
+from amcontrast3d_tpu.ops import contrast_reductions, group_points
+
+ARGS = dict(nsample=12, ccbeta=0.04, cctype="Method2", temperature=0.3,
+            supervisedCL="Method1", db="-m", margin="adaptive",
+            mu=-1, nu=0.5)
+
+
+def _data(rng, b=2, n=300, c=32, ncls=5):
+    p = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+    f = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, ncls, (b, n)).astype(np.int32))
+    labels = one_hot_labels(y, ncls, None)
+    return p, f, y, labels
+
+
+def _kth(p, idx):
+    """Threshold in the kernel's own (q−s)² arithmetic (see
+    point_contrast_margin_fused) — the kNN's matmul-form d² rounds
+    differently and would flip the k-th member."""
+    neigh = group_points(p, idx)
+    return jnp.max(jnp.sum((p[:, :, None, :] - neigh) ** 2, -1), -1) * (1 + 1e-5)
+
+
+def test_reductions_match_gather_path(rng):
+    p, f, y, labels = _data(rng)
+    idx, posmask, dd = stage_neighborhood(p, labels, ARGS["nsample"])
+    kth = _kth(p, idx)
+
+    fsim = f / jnp.maximum(
+        jnp.sqrt(jnp.sum(f * f, -1, keepdims=True)), 1e-8)
+    red = contrast_reductions(p, fsim, y.astype(jnp.float32), kth,
+                              1.0 / 0.3, False, True)
+
+    nf = group_points(fsim, idx)
+    s = jnp.sum(fsim[..., None, :] * nf, axis=-1)
+    e = jnp.exp(s / 0.3)
+    pm = posmask.astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(red[..., 0]),
+                               np.asarray(jnp.sum(e * pm, -1)),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(red[..., 1]),
+                               np.asarray(jnp.sum(e * (1 - pm), -1)),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(red[..., 2]),
+                               np.asarray(jnp.sum(s * pm, -1)),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(red[..., 4]),
+                               np.asarray(jnp.sum(pm, -1)), atol=0)
+    np.testing.assert_allclose(np.asarray(red[..., 6]),
+                               np.asarray(jnp.sum(pm * dd, -1)),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(red[..., 7]),
+                               np.asarray(jnp.sum((1 - pm) * dd, -1)),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_reductions_multichunk(rng):
+    """N > CS exercises the chunked support loop."""
+    p, f, y, labels = _data(rng, b=1, n=2100, c=16)
+    idx, posmask, dd = stage_neighborhood(p, labels, 8)
+    kth = _kth(p, idx)
+    red = contrast_reductions(p, f, y.astype(jnp.float32), kth,
+                              1.0, False, True)
+    np.testing.assert_allclose(np.asarray(red[..., 4]),
+                               np.asarray(jnp.sum(posmask, -1).astype(np.float32)),
+                               atol=0)
+    nf = group_points(f, idx)
+    s = jnp.sum(f[..., None, :] * nf, axis=-1)
+    e = jnp.exp(s)
+    pm = posmask.astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(red[..., 0]),
+                               np.asarray(jnp.sum(e * pm, -1)),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dist_func", ["dist_cos", "dist_dot"])
+@pytest.mark.parametrize("margin,db", [("adaptive", "-m"),
+                                       ("constant", "+m"),
+                                       ("learned", "-m"),
+                                       ("adaptive", "none")])
+def test_fused_loss_matches_xla_path(rng, dist_func, margin, db):
+    p, f, y, labels = _data(rng)
+    args = dict(ARGS, margin=margin, db=db)
+    if dist_func == "dist_dot":
+        f = f * 0.1  # keep exp(dot/T) in fp32 range
+
+    C.set_fused_contrast("off")
+    try:
+        loss_ref, a_ref = C.point_contrast_margin(p, f, labels, args,
+                                                  dist_func=dist_func)
+    finally:
+        C.set_fused_contrast("auto")
+    loss_fused, a_fused = C.point_contrast_margin_fused(p, f, labels, args,
+                                                        dist_func=dist_func)
+    np.testing.assert_allclose(np.asarray(a_fused), np.asarray(a_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(loss_fused), float(loss_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cctype", ["Method1", "Method2", "Method3"])
+def test_fused_ambiguity_cctypes(rng, cctype):
+    p, f, y, labels = _data(rng)
+    args = dict(ARGS, cctype=cctype)
+    C.set_fused_contrast("off")
+    try:
+        _, a_ref = C.point_contrast_margin(p, f, labels, args)
+    finally:
+        C.set_fused_contrast("auto")
+    _, a_fused = C.point_contrast_margin_fused(p, f, labels, args)
+    np.testing.assert_allclose(np.asarray(a_fused), np.asarray(a_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_grads_match(rng):
+    p, f, y, labels = _data(rng)
+
+    def loss_xla(f_):
+        C.set_fused_contrast("off")
+        try:
+            loss, _ = C.point_contrast_margin(p, f_, labels, ARGS)
+        finally:
+            C.set_fused_contrast("auto")
+        return loss
+
+    def loss_fused(f_):
+        loss, _ = C.point_contrast_margin_fused(p, f_, labels, ARGS)
+        return loss
+
+    g_ref = jax.grad(loss_xla)(f)
+    g_fused = jax.grad(loss_fused)(f)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_fused_grads_learned_margin(rng):
+    """'learned' margin routes gradient through Spos/Sneg too."""
+    p, f, y, labels = _data(rng, n=200)
+    args = dict(ARGS, margin="learned")
+
+    def loss_xla(f_):
+        C.set_fused_contrast("off")
+        try:
+            loss, _ = C.point_contrast_margin(p, f_, labels, args)
+        finally:
+            C.set_fused_contrast("auto")
+        return loss
+
+    def loss_fused(f_):
+        loss, _ = C.point_contrast_margin_fused(p, f_, labels, args)
+        return loss
+
+    g_ref = jax.grad(loss_xla)(f)
+    g_fused = jax.grad(loss_fused)(f)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=5e-4, atol=1e-6)

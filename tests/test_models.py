@@ -115,3 +115,34 @@ def test_build_from_registry():
            "cls_args": CLS_ARGS}
     model = build_model_from_cfg(cfg)
     assert isinstance(model, BaseSeg_AMContrast3D)
+
+
+def test_apm_p_graph_closed_form(rng):
+    """APM_p_Graph == literal GCNConv-on-star-graph + avg-pool (the upstream
+    experimental path, separation.py:167-238)."""
+    import jax.numpy as jnp
+    from amcontrast3d_tpu.models.apm import APM_p_Graph
+    from amcontrast3d_tpu.ops import group_points, knn
+
+    B, N, k = 2, 64, 6
+    p = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    m = APM_p_Graph(nsample_k=k)
+    variables = m.init({"params": jax.random.PRNGKey(0)}, p)
+    out = np.asarray(m.apply(variables, p))
+    assert out.shape == (B, N, 1)
+
+    W = np.asarray(variables["params"]["gcnconv"]["kernel"])  # (3, 1)
+    b = np.asarray(variables["params"]["gcnconv"]["bias"])
+    idx, _ = knn(p, p, k)
+    rel = np.abs(np.asarray(group_points(p, idx[..., 1:]) - p[:, :, None, :]))
+    pn = np.asarray(p)
+    for bi in range(B):
+        for i in range(0, N, 17):
+            # star graph nodes: x0 = p_i, x_j = |p_i - p_nj|; GCN degrees
+            # deg0 = 1 (self only), degj = 2 (self + 0->j)
+            x0 = pn[bi, i] @ W  # norm 1/sqrt(1*1)
+            xs = [0.5 * rel[bi, i, j] @ W + x0 / np.sqrt(2.0)
+                  for j in range(k - 1)]
+            nodes = [x0 + b] + [x + b for x in xs]
+            want = np.mean(nodes, axis=0)
+            np.testing.assert_allclose(out[bi, i], want, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,148 @@
+"""Synthetic convergence gate — multi-epoch AA and MM training through the
+real CLI, asserted against a fixed mIoU bar.
+
+The procedural rooms (data/synthetic.py) are geometrically separable, so a
+correct implementation of the full recipe (encoder/decoder + adaptive-margin
+contrast (+ APM/refinement for MM) + AdamW/cosine + whole-cloud validation)
+must reach high val mIoU in a few dozen epochs; a silent numerical regression
+anywhere in the train path shows up here as a miss.  After training, the same
+checkpoint is pushed through ``mode=test`` whole-scene voting with the
+boundary/inner split and ambiguity-bucket metrics enabled (↔ the reference's
+``test_boundary_inner``, main_AA.py:516-802).
+
+Usage:  python tools/convergence_check.py [--epochs 20] [--bar 90]
+                                          [--kinds aa,mm] [--out results.json]
+
+Each phase runs in a fresh subprocess (own XLA client) and reports the
+results dict that ``main_cli`` returns; the tool exits non-zero if any
+training run misses the bar or any test phase fails.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PHASE_SNIPPET = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from amcontrast3d_tpu.engine.cli import main_cli
+results = main_cli({kind!r}, argv={argv!r})
+results = {{k: v for k, v in results.items()
+           if isinstance(v, (int, float, str, list, tuple))}}
+with open({out!r}, "w") as f:
+    json.dump(results, f)
+"""
+
+
+def run_phase(kind: str, argv: list, tag: str, workdir: str,
+              extra_env: dict = None) -> dict:
+    out = os.path.join(workdir, f"{tag}.json")
+    code = _PHASE_SNIPPET.format(repo=REPO, kind=kind, argv=argv, out=out)
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+    env.update(extra_env or {})
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env)
+    if proc.returncode != 0 or not os.path.exists(out):
+        raise RuntimeError(f"phase {tag} failed (exit {proc.returncode})")
+    with open(out) as f:
+        return json.load(f)
+
+
+def find_best_ckpt(root: str) -> str:
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if fn.endswith("_ckpt_best.ckpt"):
+                return os.path.join(dirpath, fn)
+    raise FileNotFoundError(f"no best checkpoint under {root}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--bar", type=float, default=90.0,
+                    help="min best val mIoU (synthetic rooms are separable)")
+    ap.add_argument("--kinds", default="aa,mm")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--ab", action="store_true",
+                    help="also train AA with the exact kNN backend + the "
+                         "unfused XLA contrast path and report the best-val "
+                         "mIoU delta vs the default approx/fused TPU path "
+                         "(quantifies docs/DEVIATIONS.md §2-3)")
+    args = ap.parse_args()
+
+    summary = {}
+    failed = False
+    with tempfile.TemporaryDirectory(prefix="amc3d_convergence_") as tmp:
+        for kind in args.kinds.split(","):
+            kind = kind.strip()
+            cfg = os.path.join(REPO, "cfgs", "synthetic",
+                               f"AMContrast3D-{kind.upper()}.yaml")
+            root = os.path.join(tmp, kind)
+            train_argv = ["--cfg", cfg, f"epochs={args.epochs}",
+                          f"seed={args.seed}", f"root_dir={root}",
+                          "val_freq=1"]
+            res = run_phase(kind, train_argv, f"{kind}_train", tmp)
+            best = float(res.get("best_val", 0.0))
+            ok = best >= args.bar
+            summary[f"{kind}_train"] = {**res, "bar": args.bar, "pass": ok}
+            print(f"[{kind}] train: best_val={best:.2f} "
+                  f"(bar {args.bar}) -> {'PASS' if ok else 'FAIL'}")
+            failed |= not ok
+
+            ckpt = find_best_ckpt(root)
+            test_argv = ["--cfg", cfg, "mode=test", f"seed={args.seed}",
+                         f"root_dir={root}", f"pretrained_path={ckpt}",
+                         "ambiguity_args.miou_B_I=True",
+                         "ambiguity_args.action=True"]
+            tres = run_phase(kind, test_argv, f"{kind}_test", tmp)
+            t_miou = float(tres.get("miou", 0.0))
+            # whole-scene voting over all original points scores at least as
+            # well as the cropped val protocol when the model has converged;
+            # allow a small slack for the protocol difference
+            t_ok = t_miou >= args.bar - 5.0
+            summary[f"{kind}_test"] = {
+                "miou": t_miou, "macc": tres.get("macc"),
+                "oa": tres.get("oa"), "boundary": tres.get("boundary"),
+                "inner": tres.get("inner"),
+                "ambiguity": tres.get("ambiguity_summary"),
+                "pass": t_ok}
+            print(f"[{kind}] test: miou={t_miou:.2f} "
+                  f"boundary={tres.get('boundary')} inner={tres.get('inner')} "
+                  f"-> {'PASS' if t_ok else 'FAIL'}")
+            failed |= not t_ok
+
+        if args.ab:
+            cfg = os.path.join(REPO, "cfgs", "synthetic", "AMContrast3D-AA.yaml")
+            root = os.path.join(tmp, "aa_exact")
+            res = run_phase("aa", ["--cfg", cfg, f"epochs={args.epochs}",
+                                   f"seed={args.seed}", f"root_dir={root}",
+                                   "val_freq=1"], "aa_exact_train", tmp,
+                            extra_env={"AMC3D_KNN_BACKEND": "exact",
+                                       "AMC3D_FUSED_CONTRAST": "off"})
+            exact_best = float(res.get("best_val", 0.0))
+            default_best = float(summary.get("aa_train", {}).get("best_val", 0.0))
+            summary["ab_exact_vs_default"] = {
+                "exact_best_val": exact_best,
+                "default_best_val": default_best,
+                "delta": round(default_best - exact_best, 3)}
+            print(f"[ab] exact/unfused best_val={exact_best:.2f} vs "
+                  f"default {default_best:.2f} (delta "
+                  f"{default_best - exact_best:+.2f})")
+
+    summary["pass"] = not failed
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
