@@ -178,26 +178,18 @@ def point_contrast_margin_fused(p: jnp.ndarray, f: jnp.ndarray,
     the ambiguity statistics all come from one dense Pallas kernel with a
     matmul-only VJP (ops/contrast_pallas.py) — no (B, N, K, C) gather, no
     backward scatter."""
-    from ..ops import ambiguity_from_stats, contrast_reductions, knn
+    from ..ops import (ambiguity_from_stats, contrast_reductions,
+                       contrast_reductions_selfk, knn)
+    from ..ops.knn import _use_approx
 
     nsample = args["nsample"]
-    idx, _ = knn(p, p, nsample)
-    # Re-derive the k-th distance from the selected neighbors with the same
-    # (q−s)² broadcast arithmetic the kernel uses: the kNN's own matmul-form
-    # d² (|q|²+|s|²−2qs) differs by catastrophic-cancellation rounding, which
-    # would flip the k-th point's own membership ~50% of the time.  The tiny
-    # relative cushion absorbs FMA-vs-VPU ulp differences; it can only admit
-    # a >k-th neighbor whose distance ties the k-th to within 1e-5.
-    neigh_xyz = group_points(p, idx)                       # (B, N, k, 3)
-    kth = jnp.max(jnp.sum((p[:, :, None, :] - neigh_xyz) ** 2, axis=-1),
-                  axis=-1) * (1.0 + 1e-5)
-    kth = jax.lax.stop_gradient(kth)
-    kth = checkpoint_name(kth, "contrast_knn")
-
     lab = jnp.argmax(labels_stage, axis=-1).astype(jnp.float32)
     temperature = args.get("temperature", None)
     tinv = 1.0 / float(temperature) if temperature else 1.0
     cctype = args.get("cctype", "Method2")
+    margin_mode = args.get("margin", "adaptive")
+    need_s = margin_mode == "learned"
+    need_d = cctype != "Method1"
 
     if dist_func == "dist_cos":
         # per-vector normalization; the reference clamps the norm *product*
@@ -209,9 +201,30 @@ def point_contrast_margin_fused(p: jnp.ndarray, f: jnp.ndarray,
         fsim = f
 
     interpret = jax.default_backend() != "tpu"
-    red = contrast_reductions(p, fsim, lab, kth, tinv,
-                              cctype == "Method3", interpret,
-                              args.get("fused_precision"))
+    if _use_approx():
+        # fully fused: the kernel's own value-only selection pass supplies
+        # the k-th-distance threshold (exact-or-superset neighborhoods) —
+        # no separate kNN runs for the loss at all
+        red = contrast_reductions_selfk(
+            p, fsim, lab, nsample, tinv, cctype == "Method3", interpret,
+            args.get("fused_precision"), need_s, need_d)
+    else:
+        # exact backend: threshold from the exact kNN's neighbor set,
+        # re-derived in the kernel's own (q−s)² broadcast arithmetic (the
+        # kNN's matmul-form d² rounds differently and would flip the k-th
+        # point's own membership ~50% of the time); the relative cushion
+        # absorbs FMA-vs-VPU ulp differences
+        idx, _ = knn(p, p, nsample)
+        neigh_xyz = group_points(p, idx)                   # (B, N, k, 3)
+        kth = jnp.max(jnp.sum((p[:, :, None, :] - neigh_xyz) ** 2, axis=-1),
+                      axis=-1) * (1.0 + 1e-5)
+        kth = jax.lax.stop_gradient(kth)
+        red = contrast_reductions(p, fsim, lab, kth, tinv,
+                                  cctype == "Method3", interpret,
+                                  args.get("fused_precision"), need_s, need_d)
+    # under ambiguity_args.remat the (B, N, 9) reductions are saved so the
+    # backward never re-runs the selection pass
+    red = checkpoint_name(red, "contrast_knn")
     P, Q = red[..., 0], red[..., 1]
     s_pos, s_neg = red[..., 2], red[..., 3]
     n_pos, n_neg = red[..., 4], red[..., 5]

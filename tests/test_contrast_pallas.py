@@ -169,3 +169,50 @@ def test_fused_grads_learned_margin(rng):
     g_fused = jax.grad(loss_fused)(f)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
                                rtol=5e-4, atol=1e-6)
+
+
+def test_selfk_matches_exact_threshold(rng):
+    """In-kernel value-only selection == exact-kth threshold reductions
+    (small-N full-column mode is exact modulo d² ties, absent here)."""
+    from amcontrast3d_tpu.ops import contrast_reductions_selfk
+
+    p, f, y, labels = _data(rng, b=2, n=700, c=16)
+    idx, posmask, dd = stage_neighborhood(p, labels, 12)
+    kth = _kth(p, idx)
+    ref = contrast_reductions(p, f, y.astype(jnp.float32), kth,
+                              1.0, False, True)
+    got = contrast_reductions_selfk(p, f, y.astype(jnp.float32), 12,
+                                    1.0, False, True)
+    np.testing.assert_allclose(np.asarray(got[..., 4]),
+                               np.asarray(ref[..., 4]), atol=0)
+    np.testing.assert_allclose(np.asarray(got[..., :8]),
+                               np.asarray(ref[..., :8]), rtol=2e-5, atol=1e-5)
+
+
+def test_fused_selfk_loss_and_grad(rng):
+    """Approx backend routes through contrast_reductions_selfk; loss and
+    grads must match the XLA gather path built on the exact kNN."""
+    from amcontrast3d_tpu.ops.knn import set_knn_backend
+
+    p, f, y, labels = _data(rng, b=2, n=600, c=24)
+
+    def loss_xla(f_):
+        C.set_fused_contrast("off")
+        try:
+            loss, _ = C.point_contrast_margin(p, f_, labels, ARGS)
+        finally:
+            C.set_fused_contrast("auto")
+        return loss
+
+    set_knn_backend("approx")  # selfk path (selection still exact on CPU
+    try:                        # sizes: full-column mode)
+        def loss_fused(f_):
+            loss, _ = C.point_contrast_margin_fused(p, f_, labels, ARGS)
+            return loss
+        lf, gf = jax.value_and_grad(loss_fused)(f)
+    finally:
+        set_knn_backend("auto")
+    lx, gx = jax.value_and_grad(loss_xla)(f)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=5e-4, atol=1e-6)

@@ -69,3 +69,19 @@ def test_fused_multichunk_compiled(rng):
     np.testing.assert_allclose(
         np.asarray(red[..., 4]),
         np.asarray(jnp.sum(posmask, -1).astype(jnp.float32)), atol=0)
+
+
+def test_selfk_neighborhood_counts_compiled(rng):
+    """In-kernel selection on device: every point's threshold set contains
+    the full k-NN set (superset property) and ≥99% match exactly."""
+    from amcontrast3d_tpu.ops import contrast_reductions_selfk
+
+    p = jnp.asarray(rng.rand(2, 24000, 3).astype(np.float32) * 4)
+    f = jnp.asarray(rng.randn(2, 24000, 16).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 13, (2, 24000)).astype(np.int32))
+    red = np.asarray(contrast_reductions_selfk(
+        p, f, y.astype(jnp.float32), 24, 1.0, False, False))
+    counts = red[..., 4] + red[..., 5]
+    assert counts.min() >= 23, "threshold set lost a true neighbor"
+    assert (counts == 23).mean() >= 0.99, "too many superset overflows"
+    assert counts.max() <= 28, "threshold set far too large"
