@@ -183,7 +183,12 @@ def point_contrast_margin_fused(p: jnp.ndarray, f: jnp.ndarray,
     from ..ops.knn import _use_approx
 
     nsample = args["nsample"]
-    lab = jnp.argmax(labels_stage, axis=-1).astype(jnp.float32)
+    # labels_stage: (B, N, ncls) soft one-hot, or already-argmaxed (B, N)
+    # int class ids (the label_vote kernel path in contrast_head)
+    if labels_stage.ndim == 2:
+        lab = labels_stage.astype(jnp.float32)
+    else:
+        lab = jnp.argmax(labels_stage, axis=-1).astype(jnp.float32)
     temperature = args.get("temperature", None)
     tinv = 1.0 / float(temperature) if temperature else 1.0
     cctype = args.get("cctype", "Method2")
@@ -330,11 +335,32 @@ def contrast_head(up_stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
             pcm,
             policy=jax.checkpoint_policies.save_only_these_names(
                 "contrast_knn"))
+    # With the fused TPU path and a non-exact backend, stage labels come from
+    # the majority-vote kernel (argmax-of-mean-one-hot == majority vote; the
+    # loss consumes only the argmax) — no subscene kNN or gathers at all.
+    from ..ops.knn import _use_approx
+    use_vote = (_use_fused(args, "dist_cos", "contrast_softnn_margin")
+                and _use_approx())
+    if use_vote:
+        from ..ops import label_vote
+        lab0 = jnp.argmax(labels0, axis=-1)
+        interpret = jax.default_backend() != "tpu"
+
     loss_sum = 0.0
     target_ai_list: List[jnp.ndarray] = []
     for i in range(int(args.get("stages_num", 4))):
         p, f = up_stages[i]
-        labels = subscene_labels(labels0, p0, p, i)
+        if i == 0:
+            labels = labels0
+        elif use_vote:
+            kr = 1
+            from .aef import NSTRIDE
+            for s in NSTRIDE[:i]:
+                kr *= s
+            labels = label_vote(p0, lab0, p, kr, labels0.shape[-1],
+                                interpret=interpret)
+        else:
+            labels = subscene_labels(labels0, p0, p, i)
         loss, a = pcm(p, f, labels)
         loss_sum = loss_sum + loss
         target_ai_list.append(a)

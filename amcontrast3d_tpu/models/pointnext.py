@@ -79,7 +79,12 @@ class LocalAggregation(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, p, f, training: bool = False, n_valid=None):
+    def __call__(self, p, f, training: bool = False, n_valid=None,
+                 cached_idx=None):
+        """``cached_idx``: precomputed grouping indices — consecutive blocks
+        of one encoder stage share identical (points, radius, nsample), and
+        both this ball query and the reference CUDA kernel are deterministic,
+        so reusing the first block's result is bit-identical."""
         order = (self.conv_args or {}).get("order", "conv-norm-act")
         out_channels = list(self.channels[1:])
         grouper = create_grouper(self.group_args)
@@ -110,7 +115,9 @@ class LocalAggregation(nn.Module):
 
         from ..ops import ball_query, group_points, knn
         out_ch = out_channels[0]
-        if grouper.method == "ballquery":
+        if cached_idx is not None:
+            idx = cached_idx
+        elif grouper.method == "ballquery":
             idx = ball_query(sup, p, grouper.radius, grouper.nsample)
         else:
             idx, _ = knn(sup, p, grouper.nsample)
@@ -330,7 +337,8 @@ class InvResMLP(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, p, f, training: bool = False, n_valid=None):
+    def __call__(self, p, f, training: bool = False, n_valid=None,
+                 cached_idx=None):
         aggr = dict(self.aggr_args or {"feature_type": "dp_fj", "reduction": "max"})
         identity = f
         f = LocalAggregation(
@@ -341,7 +349,7 @@ class InvResMLP(nn.Module):
             feature_type=aggr.get("feature_type", "dp_fj"),
             reduction=aggr.get("reduction", "max"),
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-        )(p, f, training=training, n_valid=n_valid)
+        )(p, f, training=training, n_valid=n_valid, cached_idx=cached_idx)
         bn_mask = None
         if n_valid is not None:
             from ..ops.masked import valid_mask
@@ -489,6 +497,25 @@ class PointNextEncoder(nn.Module):
             else:
                 p, f, nv = sa(p, f, training, n_valid=nv)
             in_ch = channels[i]
+            # consecutive blocks of a stage share (points, radius, nsample):
+            # the grouping is deterministic in both this framework and the
+            # reference CUDA kernels, so one query serves every block
+            shared_idx = None
+            nb = self.blocks[i]
+            if (nb > 2 and self.block == "InvResMLP"
+                    and aggr_args.get("feature_type", "dp_fj") == "dp_fj"
+                    and all(radii[i][j] == radii[i][1]
+                            and nsamples[i][j] == nsamples[i][1]
+                            for j in range(1, nb))):
+                from ..ops import ball_query as _bq, knn as _knn
+                from ..ops.masked import mask_positions_far, valid_mask
+                ga1 = dict(self.group_args or {"NAME": "ballquery"})
+                supb = p if nv is None else mask_positions_far(
+                    p, valid_mask(nv, p.shape[1]))
+                if ga1.get("NAME", "ballquery") == "ballquery":
+                    shared_idx = _bq(supb, p, radii[i][1], nsamples[i][1])
+                else:
+                    shared_idx, _ = _knn(supb, p, nsamples[i][1])
             for j in range(1, self.blocks[i]):
                 gaj = dict(self.group_args or {"NAME": "ballquery"})
                 gaj["radius"] = radii[i][j]
@@ -501,9 +528,10 @@ class PointNextEncoder(nn.Module):
                     dtype=self.dtype, name=f"enc{i}_block{j}",
                 )
                 if nv is None:
-                    p, f = block(p, f, training)
+                    p, f = block(p, f, training, cached_idx=shared_idx)
                 else:
-                    p, f = block(p, f, training, n_valid=nv)
+                    p, f = block(p, f, training, n_valid=nv,
+                                 cached_idx=shared_idx)
             p_list.append(p)
             f_list.append(f)
             nv_list.append(nv)

@@ -7,7 +7,7 @@ from .interpolate import three_interpolate, three_interpolation, three_nn
 from .ambiguity import (ambiguity_from_stats, ambiguity_function,
                         ambiguity_histogram)
 from .contrast_pallas import (contrast_reductions,
-                              contrast_reductions_selfk)
+                              contrast_reductions_selfk, label_vote)
 from .chamfer import chamfer_distance_l1, chamfer_distance_l2, chamfer_raw
 from .emd import approx_match, earth_mover_distance, match_cost
 from .dilated_knn import dilated_knn
@@ -20,7 +20,7 @@ __all__ = [
     "get_aggregation_features", "group_points",
     "three_interpolate", "three_interpolation", "three_nn",
     "ambiguity_from_stats", "ambiguity_function", "ambiguity_histogram",
-    "contrast_reductions", "contrast_reductions_selfk",
+    "contrast_reductions", "contrast_reductions_selfk", "label_vote",
     "chamfer_distance_l1", "chamfer_distance_l2", "chamfer_raw",
     "approx_match", "earth_mover_distance", "match_cost",
     "dilated_knn", "aggregation", "interpolation", "interpolation2", "subtraction",

@@ -477,3 +477,101 @@ def _crs_bwd(k, tinv, cctype_root, interpret, precision, need_s, need_d,
 
 
 contrast_reductions_selfk.defvjp(_crs_fwd, _crs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# subscene label vote (AEF label propagation without kNN/gather)
+# ---------------------------------------------------------------------------
+
+def _vote_kernel(qT_ref, buf_ref, out_ref, cand_ref, *, cs: int, ncls: int,
+                 k: int, g: int, precision):
+    """Per stage point, class-vote counts over its kr nearest stage-0 points
+    (↔ get_subscene_label_CBL, AEF/utils.py:22-43 — the loss consumes only
+    the argmax of the propagated soft label, and argmax-of-mean-one-hot ==
+    majority vote).  Selection pass as in _fwd_kernel (self IS a support
+    point here, so no self-exclusion); counts via one MXU matmul against the
+    support's one-hot labels."""
+    qx = qT_ref[0, 0:1, :]
+    qy = qT_ref[0, 1:2, :]
+    qz = qT_ref[0, 2:3, :]
+    tq = qx.shape[1]
+    n_pad = buf_ref.shape[1]
+    n_chunks = n_pad // cs
+
+    def sel_body(c, _):
+        ch = buf_ref[0, pl.ds(c * cs, cs), :]
+        d2 = _d2_tile(ch, qx, qy, qz, ncls)
+        if g == 0:
+            cand_ref[pl.ds(c * cs, cs), :] = d2
+        else:
+            d3 = d2.reshape(cs // g, g, tq)
+            m1 = jnp.min(d3, axis=1)
+            m2 = jnp.min(jnp.where(d3 == m1[:, None, :], _INF, d3), axis=1)
+            cand_ref[pl.ds(c * (cs // g), cs // g), :] = m1
+            cand_ref[pl.ds(n_pad // g + c * (cs // g), cs // g), :] = m2
+        return 0
+
+    lax.fori_loop(0, n_chunks, sel_body, 0)
+
+    def ext_body(j, cd):
+        m = jnp.min(cd, axis=0, keepdims=True)
+        return jnp.where(cd == m, _INF, cd)
+
+    cd = lax.fori_loop(0, k - 1, ext_body, cand_ref[:])
+    thr = jnp.min(cd, axis=0, keepdims=True) * (1.0 + 1e-6)
+
+    def body(c, acc):
+        ch = buf_ref[0, pl.ds(c * cs, cs), :]
+        d2 = _d2_tile(ch, qx, qy, qz, ncls)
+        nbf = jnp.where(d2 <= thr, 1.0, 0.0)                 # (cs, tq)
+        oh = ch[:, 0:ncls]                                   # (cs, ncls)
+        # counts += nbᵀ · onehot: contract the cs (sublane) dims on the MXU
+        return acc + lax.dot_general(nbf, oh, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)
+
+    out_ref[0] = lax.fori_loop(0, n_chunks, body,
+                               jnp.zeros((tq, ncls), jnp.float32))
+
+
+def label_vote(p_sup, lab_sup, p_q, k: int, num_classes: int,
+               interpret: bool = False):
+    """Majority-vote class of the k nearest support points for each query
+    (threshold semantics — exact-or-superset vote sets).
+
+    p_sup (B, N, 3), lab_sup (B, N) float/int class ids, p_q (B, M, 3) →
+    (B, M) int32 argmax class (ties → lowest class id, like argmax of the
+    reference's mean-one-hot soft label)."""
+    B, N, _ = p_sup.shape
+    M = p_q.shape[1]
+    ncls = num_classes
+    n_pad, cs, tq = _shapes(N)
+    m_pad = -(-M // tq) * tq
+    g = _group(n_pad)
+    cand_rows = n_pad if g == 0 else 2 * n_pad // g
+
+    oh = jax.nn.one_hot(lab_sup.astype(jnp.int32), ncls, dtype=jnp.float32)
+    buf = jnp.concatenate([oh, p_sup], axis=-1)
+    buf = _pad_to(buf, n_pad, 1, value=0.0)
+    if n_pad > N:
+        buf = buf.at[:, N:, ncls:ncls + 3].set(1e4)
+    qT = jnp.transpose(_pad_to(p_q, m_pad, 1, value=-1e4), (0, 2, 1))
+
+    counts = pl.pallas_call(
+        functools.partial(_vote_kernel, cs=cs, ncls=ncls, k=k, g=g,
+                          precision=_PRECISIONS[_ENV_PRECISION]),
+        grid=(B, m_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, 3, tq), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, ncls + 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, ncls), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m_pad, ncls), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((cand_rows, tq), jnp.float32)],
+        compiler_params=_params(),
+        interpret=interpret,
+    )(qT, buf)
+    return jnp.argmax(counts[:, :M], axis=-1).astype(jnp.int32)

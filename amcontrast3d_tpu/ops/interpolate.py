@@ -29,9 +29,26 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     return jnp.sum(neigh * weight[..., None], axis=2)
 
 
+def _use_fused_interp() -> bool:
+    import os
+
+    import jax
+
+    from .knn import _use_approx
+    return (jax.default_backend() == "tpu" and _use_approx()
+            and os.environ.get("AMC3D_FUSED_CONTRAST", "auto") != "off")
+
+
 def three_interpolation(unknown_xyz: jnp.ndarray, known_xyz: jnp.ndarray,
                         known_feat: jnp.ndarray) -> jnp.ndarray:
-    """Interpolate coarse features onto fine positions (upsampling.py:92-103)."""
+    """Interpolate coarse features onto fine positions (upsampling.py:92-103).
+
+    On TPU (non-exact mode) this dispatches to the fused Pallas kernel —
+    threshold 3-NN + one matmul per tile, matmul VJP, no gather/scatter
+    (ops/interpolate_pallas.py)."""
+    if _use_fused_interp():
+        from .interpolate_pallas import three_interpolation_fused
+        return three_interpolation_fused(unknown_xyz, known_xyz, known_feat)
     dist, idx = three_nn(unknown_xyz, known_xyz)
     dist_recip = 1.0 / (dist + 1e-8)
     norm = jnp.sum(dist_recip, axis=2, keepdims=True)

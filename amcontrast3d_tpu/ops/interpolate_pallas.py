@@ -1,0 +1,242 @@
+"""Fused Pallas 3-NN inverse-distance interpolation (decoder upsampling).
+
+↔ ``three_nn`` / ``three_interpolate`` (``models/layers/upsampling.py:11-103``
+and the CUDA kernels ``interpolate_gpu.cu``).  The XLA path runs a kNN(3)
+per FP stage, gathers (B, N1, 3, C) neighbor features and scatter-adds in
+backward; here one forward kernel finds each fine point's 3rd-nearest
+coarse distance (same value-only tournament as ops/contrast_pallas.py) and
+computes
+
+    up_q = Σ_j nb_qj · w_qj · f_j / Σ_j nb_qj · w_qj ,  w = 1/(√d² + 1e-8)
+
+densely — the weighted sums ride ONE MXU matmul per tile by appending a
+constant-1 column to the coarse features (its output column IS the weight
+sum).  The VJP w.r.t. the coarse features is a single support-side matmul
+kernel (positions carry no gradient in the decoder).
+
+Exactness: coarse supports ≤ 8192 use the full-column selection (exact 3rd
+distance; a d² tie admits a 4th neighbor whose weight equals the tied
+3rd — averaging over ties instead of picking one).  Larger supports (only
+whole-room eval) use the grouped tournament: exact-or-superset, like the
+loss kernels.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .contrast_pallas import (_INF, _PRECISIONS, _ENV_PRECISION, _pad_to,
+                              _params)
+
+TQ = 256
+CS = 2048
+_FULL_COL = 8192
+
+
+def _shapes_sup(N2: int):
+    if N2 > CS:
+        n_pad = -(-N2 // CS) * CS
+        cs = CS
+    else:
+        n_pad = -(-N2 // 256) * 256
+        cs = n_pad
+    return n_pad, cs
+
+
+def _sel_group(n_pad: int) -> int:
+    if n_pad <= _FULL_COL:
+        return 0
+    for g in (64, 32, 16, 8):
+        if n_pad // g >= 768:
+            return g
+    return 8
+
+
+def _interp_kernel(qT_ref, buf_ref, out_ref, aux_ref, cand_ref, *, cs: int,
+                   C: int, g: int, precision):
+    qx = qT_ref[0, 0:1, :]
+    qy = qT_ref[0, 1:2, :]
+    qz = qT_ref[0, 2:3, :]
+    tq = qx.shape[1]
+    n_pad = buf_ref.shape[1]
+    n_chunks = n_pad // cs
+
+    def d2_of(ch):
+        sx = ch[:, C + 1:C + 2]
+        sy = ch[:, C + 2:C + 3]
+        sz = ch[:, C + 3:C + 4]
+        return (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
+
+    def sel_body(c, _):
+        ch = buf_ref[0, pl.ds(c * cs, cs), :]
+        d2 = d2_of(ch)
+        if g == 0:
+            cand_ref[pl.ds(c * cs, cs), :] = d2
+        else:
+            d3 = d2.reshape(cs // g, g, tq)
+            m1 = jnp.min(d3, axis=1)
+            m2 = jnp.min(jnp.where(d3 == m1[:, None, :], _INF, d3), axis=1)
+            cand_ref[pl.ds(c * (cs // g), cs // g), :] = m1
+            cand_ref[pl.ds(n_pad // g + c * (cs // g), cs // g), :] = m2
+        return 0
+
+    lax.fori_loop(0, n_chunks, sel_body, 0)
+
+    def ext_body(j, cd):
+        m = jnp.min(cd, axis=0, keepdims=True)
+        return jnp.where(cd == m, _INF, cd)
+
+    cd = lax.fori_loop(0, 2, ext_body, cand_ref[:])
+    thr = jnp.min(cd, axis=0, keepdims=True) * (1.0 + 1e-6)      # (1, tq)
+
+    def body(c, carry):
+        acc, accw = carry
+        ch = buf_ref[0, pl.ds(c * cs, cs), :]
+        d2 = d2_of(ch)
+        nb = d2 <= thr
+        w = jnp.where(nb, 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) + 1e-8),
+                      0.0)                                       # (cs, tq)
+        fe = ch[:, 0:C + 1]        # [f | 1]: last output column = Σw
+        acc = acc + lax.dot_general(w, fe, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)
+        # same sum in (1, tq) orientation for the aux output (the matmul's
+        # Σw column is (tq, 1) and in-kernel transposes are relayouts)
+        return acc, accw + jnp.sum(w, axis=0, keepdims=True)
+
+    acc, accw = lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.zeros((tq, C + 1), jnp.float32),
+         jnp.zeros((1, tq), jnp.float32)))
+    out_ref[0] = acc[:, 0:C] / jnp.maximum(acc[:, C:C + 1], 1e-20)
+    aux_ref[0, 0:1, :] = thr
+    aux_ref[0, 1:2, :] = jnp.maximum(accw, 1e-20)
+
+
+def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
+    """df_j = Σ_q nb·(w_qj / Wsum_q)·g_q — one support-side matmul kernel.
+    qbuf = [g(C) | x y z thr wsum] resident; support chunk via sT (4, cs)."""
+    m_pad = qbuf_ref.shape[1]
+    C = qbuf_ref.shape[2] - 5
+    sx = sT_ref[0, 0:1, :]
+    sy = sT_ref[0, 1:2, :]
+    sz = sT_ref[0, 2:3, :]
+    cs = sx.shape[1]
+
+    def body(t, acc):
+        qb = qbuf_ref[0, pl.ds(t * tq, tq), :]
+        qx, qy, qz = qb[:, C:C + 1], qb[:, C + 1:C + 2], qb[:, C + 2:C + 3]
+        thr, wsum = qb[:, C + 3:C + 4], qb[:, C + 4:C + 5]
+        gq = qb[:, 0:C]
+        d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2    # (tq, cs)
+        nb = d2 <= thr
+        wn = jnp.where(nb, 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) + 1e-8),
+                       0.0) / wsum
+        return acc + lax.dot_general(wn, gq, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)
+
+    dfs_ref[0] = lax.fori_loop(0, m_pad // tq, body,
+                               jnp.zeros((cs, qbuf_ref.shape[2] - 5),
+                                         jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def three_interpolation_fused(p1, p2, f2, interpret: bool = False):
+    """p1 (B,N1,3) fine, p2 (B,N2,3) coarse, f2 (B,N2,C) → (B,N1,C)."""
+    out, _, _ = _interp_fwd_impl(p1, p2, f2, interpret)
+    return out
+
+
+def _interp_fwd_impl(p1, p2, f2, interpret):
+    B, N1, _ = p1.shape
+    _, N2, C = f2.shape
+    prec = _PRECISIONS[_ENV_PRECISION]
+    n_pad, cs = _shapes_sup(N2)
+    tq = min(TQ, -(-N1 // 8) * 8)
+    m_pad = -(-N1 // tq) * tq
+    g = _sel_group(n_pad)
+    cand_rows = n_pad if g == 0 else 2 * n_pad // g
+
+    ones = jnp.ones((B, N2, 1), jnp.float32)
+    buf = jnp.concatenate([f2, ones, p2], axis=-1)        # [f | 1 | xyz]
+    buf = _pad_to(buf, n_pad, 1, value=0.0)
+    if n_pad > N2:
+        buf = buf.at[:, N2:, C + 1:C + 4].set(1e4)
+    qT = jnp.transpose(_pad_to(p1, m_pad, 1, value=-1e4), (0, 2, 1))
+
+    out, aux = pl.pallas_call(
+        functools.partial(_interp_kernel, cs=cs, C=C, g=g, precision=prec),
+        grid=(B, m_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, 3, tq), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, C + 4), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tq), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, m_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, m_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((cand_rows, tq), jnp.float32)],
+        compiler_params=_params(),
+        interpret=interpret,
+    )(qT, buf)
+    return out[:, :N1], aux[:, 0, :N1], aux[:, 1, :N1]
+
+
+def _interp_fwd(p1, p2, f2, interpret):
+    out, thr, wsum = _interp_fwd_impl(p1, p2, f2, interpret)
+    return out, (p1, p2, thr, wsum)
+
+
+def _interp_bwd(interpret, res, gout):
+    p1, p2, thr, wsum = res
+    C = gout.shape[-1]
+    B, N1, _ = p1.shape
+    N2 = p2.shape[1]
+    prec = _PRECISIONS[_ENV_PRECISION]
+    n_pad, cs = _shapes_sup(N2)
+    tq = min(TQ, -(-N1 // 8) * 8)
+    m_pad = -(-N1 // tq) * tq
+
+    qbuf = jnp.concatenate(
+        [gout, p1, thr[..., None], wsum[..., None]], axis=-1)
+    qbuf = _pad_to(qbuf, m_pad, 1, value=0.0)
+    if m_pad > N1:
+        # padded queries: thr=-1 removes every membership; wsum=1 avoids 0/0
+        qbuf = qbuf.at[:, N1:, C + 3].set(-1.0)
+        qbuf = qbuf.at[:, N1:, C + 4].set(1.0)
+    sT = jnp.transpose(_pad_to(p2, n_pad, 1, value=1e4), (0, 2, 1))
+
+    cs_sup = 512 if n_pad % 512 == 0 else n_pad
+    df2 = pl.pallas_call(
+        functools.partial(_interp_bwd_kernel, tq=tq, precision=prec),
+        grid=(B, n_pad // cs_sup),
+        in_specs=[
+            pl.BlockSpec((1, m_pad, C + 5), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, cs_sup), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cs_sup, C), lambda b, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+        compiler_params=_params(),
+        interpret=interpret,
+    )(qbuf, sT)
+    return jnp.zeros_like(p1), jnp.zeros_like(p2), df2[:, :N2]
+
+
+three_interpolation_fused.defvjp(_interp_fwd, _interp_bwd)

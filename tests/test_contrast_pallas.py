@@ -216,3 +216,66 @@ def test_fused_selfk_loss_and_grad(rng):
     np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
                                rtol=5e-4, atol=1e-6)
+
+
+def test_label_vote_matches_subscene_argmax(rng):
+    """Majority-vote kernel == argmax of the reference soft subscene labels
+    (small-N full-column selection is exact; ties absent in random data)."""
+    from amcontrast3d_tpu.loss.aef import subscene_labels
+    from amcontrast3d_tpu.ops import label_vote
+    from amcontrast3d_tpu.ops.knn import set_knn_backend
+
+    p0 = jnp.asarray(rng.rand(2, 600, 3).astype(np.float32))
+    y0 = jnp.asarray(rng.randint(0, 5, (2, 600)).astype(np.int32))
+    labels0 = one_hot_labels(y0, 5, None)
+    pq = p0[:, ::4][:, :150]
+
+    set_knn_backend("exact")
+    try:
+        # stage 1: kr = 4
+        want = jnp.argmax(subscene_labels(labels0, p0, pq, 1), -1)
+    finally:
+        set_knn_backend("auto")
+    got = label_vote(p0, y0, pq, 4, 5, interpret=True)
+    match = (np.asarray(got) == np.asarray(want)).mean()
+    assert match == 1.0, f"vote mismatch rate {1 - match:.4f}"
+
+
+def test_contrast_head_vote_path_matches(rng):
+    """contrast_head with the vote+selfk path vs the XLA path end to end."""
+    from amcontrast3d_tpu.loss.contrast import contrast_head
+    from amcontrast3d_tpu.ops.knn import set_knn_backend
+
+    b, n0 = 2, 512
+    p0 = jnp.asarray(rng.rand(b, n0, 3).astype(np.float32))
+    y0 = jnp.asarray(rng.randint(0, 5, (b, n0)).astype(np.int32))
+    ups = []
+    n = n0
+    for i in range(3):
+        idxs = np.arange(0, n0, 4 ** i)[: n0 // (4 ** i)]
+        ups.append((p0[:, idxs],
+                    jnp.asarray(rng.randn(b, len(idxs), 16).astype(np.float32))))
+    args = dict(ARGS, stages_num=3)
+
+    C.set_fused_contrast("off")
+    try:
+        loss_ref, ai_ref = contrast_head(ups, y0, 5, None, args)
+    finally:
+        C.set_fused_contrast("auto")
+
+    C.set_fused_contrast("on")
+    set_knn_backend("approx")
+    try:
+        loss_v, ai_v = contrast_head(ups, y0, 5, None, args)
+    finally:
+        set_knn_backend("auto")
+        C.set_fused_contrast("auto")
+    np.testing.assert_allclose(float(loss_v), float(loss_ref),
+                               rtol=1e-4, atol=1e-5)
+    for a, b_ in zip(ai_v, ai_ref):
+        # near-ties at the k-th distance may admit one extra neighbor
+        # (documented superset semantics) — a discrete ±1 mask-count flip
+        # on a handful of points; everything else must agree tightly
+        close = np.isclose(np.asarray(a), np.asarray(b_),
+                           rtol=1e-5, atol=1e-5)
+        assert close.mean() >= 0.995, f"ambiguity mismatch {1 - close.mean()}"

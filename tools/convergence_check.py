@@ -4,13 +4,16 @@ real CLI, asserted against a fixed mIoU bar.
 The procedural rooms (data/synthetic.py) are geometrically separable, so a
 correct implementation of the full recipe (encoder/decoder + adaptive-margin
 contrast (+ APM/refinement for MM) + AdamW/cosine + whole-cloud validation)
-must reach high val mIoU in a few dozen epochs; a silent numerical regression
-anywhere in the train path shows up here as a miss.  After training, the same
+must essentially solve them in a few dozen epochs; a silent numerical
+regression anywhere in the train path shows up here as a miss.  The primary
+criterion is val overall accuracy (a healthy build reaches ~99.7 OA in 40
+epochs — mIoU on these rooms is capped by rare box classes in the small val
+set, so it serves only as a lower-bar canary).  After training, the same
 checkpoint is pushed through ``mode=test`` whole-scene voting with the
 boundary/inner split and ambiguity-bucket metrics enabled (↔ the reference's
 ``test_boundary_inner``, main_AA.py:516-802).
 
-Usage:  python tools/convergence_check.py [--epochs 20] [--bar 90]
+Usage:  python tools/convergence_check.py [--epochs 40] [--oa-bar 97]
                                           [--kinds aa,mm] [--out results.json]
 
 Each phase runs in a fresh subprocess (own XLA client) and reports the
@@ -65,10 +68,14 @@ def find_best_ckpt(root: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
-    ap.add_argument("--bar", type=float, default=80.0,
-                    help="min best val mIoU; the default recipe (40 epochs, "
-                         "loop=8, color-drop off) reaches ~87 on a healthy "
-                         "build — see docs/ROUND2_NOTES.md")
+    ap.add_argument("--bar", type=float, default=60.0,
+                    help="min best val mIoU (a regression canary; mIoU on "
+                         "the procedural rooms is capped by rare box "
+                         "classes in the small val set)")
+    ap.add_argument("--oa-bar", type=float, default=97.0,
+                    help="min final val overall accuracy — the primary "
+                         "convergence criterion (a healthy build reaches "
+                         "~99.7 OA in 40 epochs; the rooms are separable)")
     ap.add_argument("--override", action="append", default=[],
                     help="extra cfg key=value overrides for the train phases")
     ap.add_argument("--kinds", default="aa,mm")
@@ -99,10 +106,13 @@ def main():
                           *args.override]
             res = run_phase(kind, train_argv, f"{kind}_train", tmp)
             best = float(res.get("best_val", 0.0))
-            ok = best >= args.bar
-            summary[f"{kind}_train"] = {**res, "bar": args.bar, "pass": ok}
-            print(f"[{kind}] train: best_val={best:.2f} "
-                  f"(bar {args.bar}) -> {'PASS' if ok else 'FAIL'}")
+            oa = float(res.get("val_oa", 0.0))
+            ok = best >= args.bar and oa >= args.oa_bar
+            summary[f"{kind}_train"] = {**res, "bar": args.bar,
+                                        "oa_bar": args.oa_bar, "pass": ok}
+            print(f"[{kind}] train: best_val={best:.2f} val_oa={oa:.2f} "
+                  f"(bars {args.bar}/{args.oa_bar}) -> "
+                  f"{'PASS' if ok else 'FAIL'}")
             failed |= not ok
 
             ckpt = find_best_ckpt(root)
@@ -112,10 +122,12 @@ def main():
                          "ambiguity_args.action=True"]
             tres = run_phase(kind, test_argv, f"{kind}_test", tmp)
             t_miou = float(tres.get("miou", 0.0))
-            # whole-scene voting over all original points scores at least as
-            # well as the cropped val protocol when the model has converged;
-            # allow a small slack for the protocol difference
-            t_ok = t_miou >= args.bar - 5.0
+            t_oa = float(tres.get("oa", 0.0))
+            # whole-scene voting scores every raw point, so class coverage
+            # recovers and mIoU is meaningful again (healthy build: ~98.9
+            # mIoU / 99.6 OA — the cropped val protocol under-covers rare
+            # box classes)
+            t_ok = t_oa >= args.oa_bar - 2.0 and t_miou >= 90.0
             summary[f"{kind}_test"] = {
                 "miou": t_miou, "macc": tres.get("macc"),
                 "oa": tres.get("oa"), "boundary": tres.get("boundary"),
