@@ -372,14 +372,47 @@ def ambiguity_head(up_stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
                    ignore_index: Optional[int], args: Dict
                    ) -> List[jnp.ndarray]:
     """AmbiguityHead.forward (MarginContrast.py:15-52): GT ambiguity per
-    stage, no loss."""
+    stage, no loss.  On the fused TPU path the per-stage counts/distances
+    come from the selection kernel's reductions (no kNN, no gathers; the
+    features argument is a dummy 1-wide zero column)."""
     from .aef import stage_ambiguity
 
     labels0 = one_hot_labels(target, num_classes, ignore_index)
     p0 = up_stages[0][0]
+    from ..ops.knn import _use_approx
+    fused = (_FUSED != "off" and _use_approx()
+             and (jax.default_backend() == "tpu" or _FUSED == "on"))
+    if fused:
+        from ..ops import (ambiguity_from_stats, contrast_reductions_selfk,
+                           label_vote)
+        lab0 = jnp.argmax(labels0, axis=-1)
+        interpret = jax.default_backend() != "tpu"
+        cctype = args.get("cctype", "Method2")
+
     out = []
     for i in range(int(args.get("stages_num", 4))):
         p, _ = up_stages[i]
+        if fused:
+            if i == 0:
+                lab = lab0.astype(jnp.float32)
+            else:
+                kr = 1
+                from .aef import NSTRIDE
+                for s in NSTRIDE[:i]:
+                    kr *= s
+                lab = label_vote(p0, lab0, p, kr, labels0.shape[-1],
+                                 interpret=interpret).astype(jnp.float32)
+            dummy_f = jnp.zeros(p.shape[:2] + (1,), jnp.float32)
+            red = contrast_reductions_selfk(
+                p, dummy_f, lab, args["nsample"], 1.0,
+                cctype == "Method3", interpret, None, False,
+                cctype != "Method1")
+            a = ambiguity_from_stats(red[..., 4], red[..., 5],
+                                     red[..., 6], red[..., 7],
+                                     args.get("ccbeta", 0.04),
+                                     method1=cctype == "Method1")
+            out.append(jax.lax.stop_gradient(a))
+            continue
         labels = subscene_labels(labels0, p0, p, i)
         a, _, _ = stage_ambiguity(p, labels, args["nsample"],
                                   args.get("cctype", "Method2"),

@@ -279,3 +279,35 @@ def test_contrast_head_vote_path_matches(rng):
         close = np.isclose(np.asarray(a), np.asarray(b_),
                            rtol=1e-5, atol=1e-5)
         assert close.mean() >= 0.995, f"ambiguity mismatch {1 - close.mean()}"
+
+
+def test_ambiguity_head_fused_matches(rng):
+    """ambiguity_head fused path (vote + selfk reductions) vs the XLA path."""
+    from amcontrast3d_tpu.loss.contrast import ambiguity_head
+    from amcontrast3d_tpu.ops.knn import set_knn_backend
+
+    b, n0 = 2, 512
+    p0 = jnp.asarray(rng.rand(b, n0, 3).astype(np.float32))
+    y0 = jnp.asarray(rng.randint(0, 5, (b, n0)).astype(np.int32))
+    ups = []
+    for i in range(3):
+        idxs = np.arange(0, n0, 4 ** i)[: n0 // (4 ** i)]
+        ups.append((p0[:, idxs], None))
+    args = dict(ARGS, stages_num=3)
+
+    C.set_fused_contrast("off")
+    try:
+        ref = ambiguity_head(ups, y0, 5, None, args)
+    finally:
+        C.set_fused_contrast("auto")
+    C.set_fused_contrast("on")
+    set_knn_backend("approx")
+    try:
+        got = ambiguity_head(ups, y0, 5, None, args)
+    finally:
+        set_knn_backend("auto")
+        C.set_fused_contrast("auto")
+    for a, b_ in zip(got, ref):
+        close = np.isclose(np.asarray(a), np.asarray(b_),
+                           rtol=1e-5, atol=1e-5)
+        assert close.mean() >= 0.995

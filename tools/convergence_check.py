@@ -1,5 +1,5 @@
 """Synthetic convergence gate — multi-epoch AA and MM training through the
-real CLI, asserted against a fixed mIoU bar.
+real CLI, asserted against calibrated OA/mIoU bars.
 
 The procedural rooms (data/synthetic.py) are geometrically separable, so a
 correct implementation of the full recipe (encoder/decoder + adaptive-margin
@@ -37,7 +37,7 @@ sys.path.insert(0, {repo!r})
 from amcontrast3d_tpu.engine.cli import main_cli
 results = main_cli({kind!r}, argv={argv!r})
 results = {{k: v for k, v in results.items()
-           if isinstance(v, (int, float, str, list, tuple))}}
+           if isinstance(v, (int, float, str, list, tuple, dict))}}
 with open({out!r}, "w") as f:
     json.dump(results, f)
 """
