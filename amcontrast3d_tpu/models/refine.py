@@ -34,13 +34,18 @@ def dual_masks(p: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
     idx, _ = knn(p, p, nsample_k)
     idx = idx[..., 1:]  # drop self-loop (MaskedRefine.py:59-60)
     K = nsample_k - 1
-    nf = group_points(f, idx)                  # (B, N, K, C)
     na = group_points(a[..., None], idx)[..., 0]  # (B, N, K)
 
     if fusion == "MIN":
+        # gather ONE feature row per point (the argmin-ambiguity neighbor)
+        # instead of the full (B, N, K, C) neighborhood — K× less HBM
+        # traffic forward and backward, identical result
         good = jnp.argmin(na, axis=-1)         # (B, N)
-        cross = jnp.take_along_axis(nf, good[..., None, None], axis=2)[:, :, 0, :]
+        gidx = jnp.take_along_axis(idx, good[..., None], axis=-1)[..., 0]
+        from ..ops import gather_points
+        cross = gather_points(f, gidx)         # (B, N, C)
     elif fusion == "MIN_ALL0":
+        nf = group_points(f, idx)              # (B, N, K, C)
         zero_mask = (na <= 0).astype(f.dtype)  # ~gt(0)
         cross = jnp.mean(nf * zero_mask[..., None], axis=2)
     else:

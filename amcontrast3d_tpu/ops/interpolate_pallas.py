@@ -30,12 +30,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .contrast_pallas import (_INF, _PRECISIONS, _ENV_PRECISION, _pad_to,
-                              _params)
+from .contrast_pallas import _INF, _pad_to, _params
 
 TQ = 256
 CS = 2048
 _FULL_COL = 8192
+# fp32 matmuls throughout: the inverse-distance weights span a huge dynamic
+# range and bf16 inputs cost ~0.4% on 20% of interpolated features (measured
+# on device); the extra passes are ~4 ms/step at flagship shapes
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _shapes_sup(N2: int):
@@ -156,7 +159,7 @@ def three_interpolation_fused(p1, p2, f2, interpret: bool = False):
 def _interp_fwd_impl(p1, p2, f2, interpret):
     B, N1, _ = p1.shape
     _, N2, C = f2.shape
-    prec = _PRECISIONS[_ENV_PRECISION]
+    prec = _PREC
     n_pad, cs = _shapes_sup(N2)
     tq = min(TQ, -(-N1 // 8) * 8)
     m_pad = -(-N1 // tq) * tq
@@ -206,7 +209,7 @@ def _interp_bwd(interpret, res, gout):
     C = gout.shape[-1]
     B, N1, _ = p1.shape
     N2 = p2.shape[1]
-    prec = _PRECISIONS[_ENV_PRECISION]
+    prec = _PREC
     n_pad, cs = _shapes_sup(N2)
     tq = min(TQ, -(-N1 // 8) * 8)
     m_pad = -(-N1 // tq) * tq

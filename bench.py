@@ -101,14 +101,19 @@ def main():
         detail["mfu_pct"] = round(
             flops / dt / _peak(jax.devices()[0]) * 100.0, 2)
 
-    # eval-path (inference forward) throughput at the same shapes
+    # eval-path (inference forward) throughput at the same shapes.  Fetch a
+    # scalar reduction, not the logits: on the remote-TPU platform a 5 MB
+    # device→host copy costs ~200 ms and would swamp the compute time.
     try:
-        predict = jax.jit(make_predict_step(model))
+        import jax.numpy as jnp
+
+        predict = make_predict_step(model)
+        pred_sum = jax.jit(lambda s, b: jnp.sum(predict(s, b)))
         ebatch = {"pos": batch["pos"], "x": batch["x"]}
-        _ = np.asarray(predict(state, ebatch))
+        _ = float(pred_sum(state, ebatch))
         t0 = time.perf_counter()
         for _ in range(iters):
-            _ = np.asarray(predict(state, ebatch))
+            _ = float(pred_sum(state, ebatch))
         edt = (time.perf_counter() - t0) / iters
         detail["eval_points_per_sec"] = round(B * N / edt, 1)
         detail["eval_step_ms"] = round(edt * 1e3, 2)
