@@ -90,22 +90,25 @@ def _pad_queries(query: jnp.ndarray, tile: int) -> Tuple[jnp.ndarray, int]:
     return query, m
 
 
-def _use_pallas(N: int, k: int) -> bool:
-    """Fused Pallas kernel for large supports on TPU (see knn_pallas.py).
+def _use_pallas(N: int, k: int, for_knn: bool = False) -> bool:
+    """Fused Pallas kernel dispatch (see knn_pallas.py).
 
-    Floor at 16k support: the kernel keeps best-2 per 128-wide bin, so at
-    mid N the candidate pool is too small (measured recall 0.969 at N=6k,
-    k=24 vs 0.995+ at 24k); approx_max_k over the jnp distance tiles is
-    both faster and more accurate there."""
+    kNN floors at 16k support: the kernel keeps best-2 per 128-wide bin, so
+    at mid N the candidate pool is too small for high top-k recall
+    (measured 0.969 at N=6k, k=24 vs 0.995+ at 24k); approx_max_k over the
+    jnp distance tiles is more accurate there.  Ball query keeps the 4k
+    floor — its random-k-subset semantics are recall-insensitive and the
+    kernel is much faster at mid N."""
     if _KNN_BACKEND == "exact":
         return False
-    return (jax.default_backend() == "tpu" and N > 16384
+    floor = 16384 if for_knn else 4096
+    return (jax.default_backend() == "tpu" and N > floor
             and k <= 2 * (N // 128))
 
 
 def knn(support: jnp.ndarray, query: jnp.ndarray, k: int,
         tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    if _use_pallas(support.shape[1], k):
+    if _use_pallas(support.shape[1], k, for_knn=True):
         from .knn_pallas import knn_pallas
         return knn_pallas(support, query, k)
     return _knn_jnp(support, query, k, tile)
