@@ -31,7 +31,8 @@ def dual_masks(p: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
     into one cloud before the kNN (MaskedRefine.py:50-52) so neighborhoods
     may cross cloud boundaries; here the kNN is per-cloud.
     """
-    idx, _ = knn(p, p, nsample_k)
+    from ..ops.knn import knn_tolerant
+    idx, _ = knn_tolerant(p, p, nsample_k)
     idx = idx[..., 1:]  # drop self-loop (MaskedRefine.py:59-60)
     K = nsample_k - 1
     na = group_points(a[..., None], idx)[..., 0]  # (B, N, K)

@@ -155,6 +155,18 @@ def _knn_jnp(support: jnp.ndarray, query: jnp.ndarray, k: int,
     return idx, d2
 
 
+def knn_tolerant(support: jnp.ndarray, query: jnp.ndarray, k: int,
+                 tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN for recall-tolerant consumers (e.g. DualMasks refinement, which
+    only takes the argmin-ambiguity member of the neighborhood): keeps the
+    fused Pallas kernel down to the 4k floor, where its top-k recall at
+    small k is high but below the strict knn() bar."""
+    if _use_pallas(support.shape[1], k):
+        from .knn_pallas import knn_pallas
+        return knn_pallas(support, query, k)
+    return _knn_jnp(support, query, k, tile)
+
+
 def knn_flat(support: jnp.ndarray, query: jnp.ndarray, k: int,
              tile: int = 2048) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """kNN over unbatched (N, 3)/(M, 3) clouds (reference packed layout)."""
