@@ -25,7 +25,7 @@ per-cloud valid counts** — mathematically the same clouds, fixed shapes:
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
