@@ -54,7 +54,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TQ = 256        # query tile
+TQ = 512        # query tile
 CS = 2048       # support chunk
 _INF = 3e38
 
