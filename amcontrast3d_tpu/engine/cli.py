@@ -84,12 +84,14 @@ def main_cli(kind: str, argv=None):
         from .runner import _prep_batch
         cfg.steps_per_epoch = 1
         state = runner.build_state(_prep_batch(first, cfg))
+        best_epoch = "-"
         if cfg.get("pretrained_path"):
-            restored, _, _ = load_checkpoint(
+            restored, epoch, _ = load_checkpoint(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "opt_state": state.opt_state}, cfg.pretrained_path)
             state = state.replace(params=restored["params"],
                                   batch_stats=restored["batch_stats"])
+            best_epoch = epoch if epoch is not None else "-"
         if mode == "test":
             # whole-scene voting test (↔ test_boundary_inner, main_AA.py:516)
             from .evaluate import generate_data_list, test_whole_scenes
@@ -100,6 +102,15 @@ def main_cli(kind: str, argv=None):
             if "boundary" in results:
                 logging.info("boundary mIoU/mACC/OA: %s", results["boundary"])
                 logging.info("inner mIoU/mACC/OA: %s", results["inner"])
+            # results CSV next to the run dir (↔ main_AA.py:224-225,346)
+            from ..utils import write_to_csv
+            cfg.csv_path = os.path.join(cfg.run_dir,
+                                        cfg.run_name + "_test.csv")
+            write_to_csv(results["oa"], results["macc"], results["miou"],
+                         results["ious"], best_epoch, cfg,
+                         area=cfg.dataset.common.get("test_area", 5)
+                         if "dataset" in cfg else 5)
+            logging.info("save results in %s", cfg.csv_path)
             return results
         miou, macc, oa, ious, accs = runner.validate(state, loader)
         logging.info("%s: mIoU %.2f mACC %.2f OA %.2f", mode, miou, macc, oa)

@@ -307,11 +307,16 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
                      len(data_list), n_total)
 
     miou, macc, oa, ious, accs = get_mious(all_cm.tp, all_cm.union, all_cm.count)
-    out = {"miou": miou, "macc": macc, "oa": oa, "ious": ious, "accs": accs,
-           "cm": all_cm}
+    # per-class values as plain lists so they survive artifact serialization
+    # (json / the convergence tool's snippet filter)
+    out = {"miou": miou, "macc": macc, "oa": oa,
+           "ious": np.asarray(ious).tolist(),
+           "accs": np.asarray(accs).tolist(), "cm": all_cm}
     if miou_b_i:
-        out["boundary"] = get_mious(cm_b.tp, cm_b.union, cm_b.count)[:3]
-        out["inner"] = get_mious(cm_i.tp, cm_i.union, cm_i.count)[:3]
+        out["boundary"] = [float(v) for v in
+                           get_mious(cm_b.tp, cm_b.union, cm_b.count)[:3]]
+        out["inner"] = [float(v) for v in
+                        get_mious(cm_i.tp, cm_i.union, cm_i.count)[:3]]
     if action and amb_results:
         out["ambiguity"] = amb_results[-1]
         out["ambiguity_summary"] = ambiguity_summary(amb_results)

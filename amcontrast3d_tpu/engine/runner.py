@@ -93,10 +93,13 @@ class Runner:
 
     def train_step_fn(self):
         if "train" not in self._steps:
+            opt_name = str(dict(self.cfg.get("optimizer", {}) or {})
+                           .get("NAME", "adamw")).lower()
             fn = make_train_step(self.model, self.criterion, self._tx,
                                  self.kind, self.num_classes,
                                  self.ignore_index, self.ambiguity_args,
-                                 axis_name="dp" if self.distributed else None)
+                                 axis_name="dp" if self.distributed else None,
+                                 needs_hessian=opt_name.endswith("adahessian"))
             if self.distributed:
                 fn = make_sharded_train_step(fn, self.mesh)
             else:

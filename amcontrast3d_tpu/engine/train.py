@@ -101,24 +101,51 @@ def _forward_loss(model, criterion, kind: str, num_classes: int,
 
 def make_train_step(model, criterion, tx, kind: str, num_classes: int,
                     ignore_index=None, ambiguity_args=None,
-                    axis_name: Optional[str] = None) -> Callable:
-    """Returns step(state, batch, rng) → (state, metrics dict)."""
+                    axis_name: Optional[str] = None,
+                    needs_hessian: bool = False) -> Callable:
+    """Returns step(state, batch, rng) → (state, metrics dict).
+
+    needs_hessian: for adahessian — the step additionally computes the
+    Hutchinson Hessian-diagonal estimate (one jvp through the gradient
+    function, same compiled graph) and feeds it to ``tx.update(...,
+    hess=...)``.  The probe key is derived before the per-replica fold, so
+    every replica draws the same z (↔ the reference's fixed-seed generator,
+    adahessian.py "same zs across all GPUs")."""
     ambiguity_args = dict(ambiguity_args or {})
     loss_fn = functools.partial(_forward_loss, model, criterion, kind,
                                 num_classes, ignore_index, ambiguity_args)
 
     def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
-        rng = jax.random.fold_in(rng, state.step)
+        rng0 = jax.random.fold_in(rng, state.step)
+        rng = rng0
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
-        (loss, (batch_stats, logits, aux)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng)
+        hess = None
+        if needs_hessian:
+            from ..optim.adahessian import rademacher_tree
+            zs = rademacher_tree(jax.random.fold_in(rng0, 7), state.params)
+            f = lambda p: grad_fn(p, state.batch_stats, batch, rng)
+            # one jvp yields the primal ((loss, aux), grads) AND the HVP Hz
+            # in the grads slot of the tangents — no second backward pass
+            ((loss, (batch_stats, logits, aux)), grads), tangents = jax.jvp(
+                f, (state.params,), (zs,))
+            hz = tangents[1]
+            hess = jax.tree_util.tree_map(lambda h, z: h * z, hz, zs)
+        else:
+            (loss, (batch_stats, logits, aux)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
             aux = jax.lax.pmean(aux, axis_name)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            if hess is not None:
+                hess = jax.lax.pmean(hess, axis_name)
+        if hess is not None:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params, hess=hess)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         cm = confusion_matrix_update(jnp.argmax(logits, -1), batch["y"],
                                      num_classes, ignore_index)

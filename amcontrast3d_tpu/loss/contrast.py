@@ -37,18 +37,21 @@ def set_fused_contrast(mode: str):
     _FUSED = mode
 
 
+def _fused_enabled(args: Dict) -> bool:
+    """The shared fused-kernel gate: the env switch, the per-head
+    ``ambiguity_args.fused`` opt-out, and the backend check."""
+    return (_FUSED != "off" and args.get("fused", True)
+            and (_FUSED == "on" or jax.default_backend() == "tpu"))
+
+
 def _use_fused(args: Dict, dist_func: str, contrast_func: str) -> bool:
-    if _FUSED == "off" or not args.get("fused", True):
-        return False
-    supported = (contrast_func == "contrast_softnn_margin"
-                 and args.get("supervisedCL", "Method1") == "Method1"
-                 and dist_func in ("dist_cos", "dist_dot")
-                 and args.get("margin", "adaptive") in
-                 ("constant", "adaptive", "learned")
-                 and args.get("db", "-m") in ("-m", "+m", "none"))
-    if _FUSED == "on":
-        return supported
-    return supported and jax.default_backend() == "tpu"
+    return (_fused_enabled(args)
+            and contrast_func == "contrast_softnn_margin"
+            and args.get("supervisedCL", "Method1") == "Method1"
+            and dist_func in ("dist_cos", "dist_dot")
+            and args.get("margin", "adaptive") in
+            ("constant", "adaptive", "learned")
+            and args.get("db", "-m") in ("-m", "+m", "none"))
 
 
 # --------------------------------------------------------------------------
@@ -235,9 +238,13 @@ def point_contrast_margin_fused(p: jnp.ndarray, f: jnp.ndarray,
     n_pos, n_neg = red[..., 4], red[..., 5]
     d_pos, d_neg = red[..., 6], red[..., 7]
 
+    # threshold neighborhoods are exact-or-superset: clamp to the reference's
+    # K-slot semantics so one superset point can't inflate the global maxc
+    # and flip every interior point to boundary (ops/ambiguity.py k_cap doc)
     a = ambiguity_from_stats(n_pos, n_neg, d_pos, d_neg,
                              args.get("ccbeta", 0.04),
-                             method1=cctype == "Method1")
+                             method1=cctype == "Method1",
+                             k_cap=float(nsample - 1))
     a = jax.lax.stop_gradient(a)
 
     margin_mode = args.get("margin", "adaptive")
@@ -380,8 +387,7 @@ def ambiguity_head(up_stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     labels0 = one_hot_labels(target, num_classes, ignore_index)
     p0 = up_stages[0][0]
     from ..ops.knn import _use_approx
-    fused = (_FUSED != "off" and _use_approx()
-             and (jax.default_backend() == "tpu" or _FUSED == "on"))
+    fused = _fused_enabled(args) and _use_approx()
     if fused:
         from ..ops import (ambiguity_from_stats, contrast_reductions_selfk,
                            label_vote)
@@ -410,7 +416,8 @@ def ambiguity_head(up_stages: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
             a = ambiguity_from_stats(red[..., 4], red[..., 5],
                                      red[..., 6], red[..., 7],
                                      args.get("ccbeta", 0.04),
-                                     method1=cctype == "Method1")
+                                     method1=cctype == "Method1",
+                                     k_cap=float(args["nsample"] - 1))
             out.append(jax.lax.stop_gradient(a))
             continue
         labels = subscene_labels(labels0, p0, p, i)

@@ -19,7 +19,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import (create_grouper, furthest_point_sample, gather_points,
+from ..ops import (clamp_members_valid, create_grouper, furthest_point_sample, gather_points,
                    get_aggregation_features, random_sample,
                    three_interpolation)
 from .layers import ConvBlock, MLPBlocks, create_act
@@ -103,7 +103,7 @@ class LocalAggregation(nn.Module):
                          and _norm_name_local(self.norm_args) is not None
                          and grouper.method in ("ballquery", "knn"))
         if not use_separable:
-            dp, fj = grouper(p, sup, f)
+            dp, fj = grouper(p, sup, f, n_valid=n_valid)
             fj = get_aggregation_features(p, dp, f, fj, self.feature_type)
             fj = MLPBlocks(out_channels, norm_args=self.norm_args,
                            act_args=self.act_args, order=order,
@@ -119,8 +119,10 @@ class LocalAggregation(nn.Module):
             idx = cached_idx
         elif grouper.method == "ballquery":
             idx = ball_query(sup, p, grouper.radius, grouper.nsample)
+            idx = clamp_members_valid(idx, n_valid)
         else:
             idx, _ = knn(sup, p, grouper.nsample)
+            idx = clamp_members_valid(idx, n_valid)
         # W_f·f once per point, then gather the projected features
         hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                       name="w_f")(f)
@@ -242,6 +244,7 @@ class SetAbstraction(nn.Module):
                 gidx = ball_query(sup, new_p, grouper.radius, grouper.nsample)
             else:
                 gidx, _ = knn(sup, new_p, grouper.nsample)
+            gidx = clamp_members_valid(gidx, n_valid)
             hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                           name="w_f")(f)
             hj = group_points(hf, gidx)
@@ -259,7 +262,7 @@ class SetAbstraction(nn.Module):
                 if act is not None:
                     fj = act(fj)
         else:
-            dp, fj = grouper(new_p, sup, f)
+            dp, fj = grouper(new_p, sup, f, n_valid=n_valid)
             fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
             n_conv = len(channels) - 1
             for i, ch in enumerate(channels[1:]):

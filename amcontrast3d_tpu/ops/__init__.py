@@ -1,7 +1,7 @@
 from .knn import (knn, knn_flat, ball_query, square_distance,
                   set_knn_backend)
 from .fps import furthest_point_sample, random_sample
-from .group import (CHANNEL_MAP, Grouper, create_grouper, gather_points,
+from .group import (CHANNEL_MAP, Grouper, clamp_members_valid, create_grouper, gather_points,
                     get_aggregation_features, group_points)
 from .interpolate import three_interpolate, three_interpolation, three_nn
 from .ambiguity import (ambiguity_from_stats, ambiguity_function,

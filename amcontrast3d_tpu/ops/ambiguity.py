@@ -25,7 +25,8 @@ _EPS = 1e-12  # AEF/function.py:8
 def ambiguity_from_stats(n_pos: jnp.ndarray, n_neg: jnp.ndarray,
                          d_pos: jnp.ndarray, d_neg: jnp.ndarray,
                          ccbeta: float = 0.04,
-                         method1: bool = False) -> jnp.ndarray:
+                         method1: bool = False,
+                         k_cap: float = None) -> jnp.ndarray:
     """Ambiguity from pre-reduced neighborhood statistics.
 
     n_pos/n_neg: (...,) same-/different-label neighbor counts;
@@ -33,7 +34,19 @@ def ambiguity_from_stats(n_pos: jnp.ndarray, n_neg: jnp.ndarray,
     to those neighbors.  Used directly by the fused contrast kernel
     (ops/contrast_pallas.py), and by :func:`ambiguity_function` after it
     reduces the (…, K) masks.
+
+    k_cap: when the stats come from *threshold* neighborhoods (the fused
+    selfk kernel — exact-or-superset sets), pass the reference's K-slot
+    size ``nsample - 1``.  Counts are clamped to the K-slot semantics
+    (``n_pos ≤ K``, ``n_pos + n_neg = K``): a single superset point would
+    otherwise push the batch-global ``maxc`` above K and reclassify every
+    true interior point (n_pos == K < maxc) as boundary, silently
+    shrinking the loss-mean denominator's complement (the d sums need no
+    rescaling — boundary classification depends only on counts).
     """
+    if k_cap is not None:
+        n_pos = jnp.minimum(n_pos, k_cap)
+        n_neg = k_cap - n_pos
     mask_num = n_pos
     maxc = jnp.maximum(jnp.max(mask_num), 1.0)           # global max, ≥1
     a_hard = jnp.abs(mask_num - maxc) / maxc

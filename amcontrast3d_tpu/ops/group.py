@@ -43,9 +43,15 @@ class Grouper(NamedTuple):
     normalize_dp: bool = False
 
     def __call__(self, query_xyz: jnp.ndarray, support_xyz: jnp.ndarray,
-                 features: Optional[jnp.ndarray] = None
+                 features: Optional[jnp.ndarray] = None,
+                 n_valid: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        """Returns (dp (B, M, K, 3), fj (B, M, K, C) or None)."""
+        """Returns (dp (B, M, K, 3), fj (B, M, K, C) or None).
+
+        n_valid (B,): on the masked variable path, per-cloud valid-prefix
+        counts of the support set — members pointing at padded rows are
+        replaced by each query's first member (↔ knnquery's repeat-first
+        padding), so far-pushed padding never enters the conv stack."""
         if self.method == "all":
             # GroupAll (group.py:258-272): one group holding every point,
             # absolute coordinates (no query subtraction).
@@ -58,6 +64,7 @@ class Grouper(NamedTuple):
             idx, _ = knn(support_xyz, query_xyz, self.nsample)
         else:
             raise ValueError(f"unknown grouper {self.method}")
+        idx = clamp_members_valid(idx, n_valid)
         grouped_xyz = group_points(support_xyz, idx)
         if self.relative_xyz:
             grouped_xyz = grouped_xyz - query_xyz[:, :, None, :]
@@ -66,6 +73,18 @@ class Grouper(NamedTuple):
                 grouped_xyz = grouped_xyz / self.radius
         fj = group_points(features, idx) if features is not None else None
         return grouped_xyz, fj
+
+
+def clamp_members_valid(idx: jnp.ndarray,
+                        n_valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Replace neighbor members that index padded support rows (idx ≥
+    n_valid; valid rows are a prefix) with the query's first member — the
+    reference's knnquery pads short neighborhoods with real in-segment
+    points the same way.  No-op when n_valid is None."""
+    if n_valid is None:
+        return idx
+    valid = idx < n_valid[:, None, None]
+    return jnp.where(valid, idx, idx[:, :, :1])
 
 
 def create_grouper(group_args) -> Grouper:

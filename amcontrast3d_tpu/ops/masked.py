@@ -87,6 +87,11 @@ def pack_to_dense(pos: np.ndarray, feats: Optional[np.ndarray],
     starts = np.concatenate([[0], offset[:-1]])
     sizes = offset - starts
     b = len(offset)
+    if n_max is not None and int(n_max) < int(sizes.max()):
+        raise ValueError(
+            f"pack_to_dense: n_max={n_max} < largest cloud ({int(sizes.max())}"
+            " points) — points would be silently dropped; pick a bucket size"
+            " covering every cloud")
     n_max = int(n_max or sizes.max())
     out_pos = np.zeros((b, n_max, pos.shape[-1]), pos.dtype)
     out = {"pos": out_pos, "n_valid": sizes.astype(np.int32)}

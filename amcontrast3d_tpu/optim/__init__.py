@@ -12,9 +12,11 @@ Reference semantics reproduced:
 * ``layer_decay`` cfg key applies ViT per-layer LR scales
   (optim_factory.py:177-186).
 
-``adahessian`` (second-order, Hutchinson Hessian traces) remains a documented
-raise: it needs a second backward pass through the train step and is unused by
-every reference recipe.
+``adahessian`` (second-order, Hutchinson Hessian traces) lives in
+:mod:`optim.adahessian`: the update rule is an optax extra-args transform fed
+the per-step Hutchinson diagonal (one ``jax.jvp`` through the gradient
+function inside the same jitted step), wired by ``engine/train.py`` when the
+config names it.
 """
 from __future__ import annotations
 
@@ -23,6 +25,7 @@ from typing import Any, Callable, Optional
 import jax.numpy as jnp
 import optax
 
+from .adahessian import adahessian, hutchinson_diag
 from .extras import (adamp, lookahead, madgrad, scale_by_layer_decay, sgdp,
                      vit_layer_id)
 
@@ -115,12 +118,15 @@ def build_optimizer_from_cfg(cfg, lr: Optional[Callable] = None,
         return madgrad(lr, momentum=momentum, weight_decay=weight_decay,
                        eps=float(cfg.get("eps", 1e-6) if "eps" in cfg else 1e-6),
                        decoupled_decay=name == "madgradw")
+    elif name == "adahessian":
+        return adahessian(lr, b1=b1, b2=b2, eps=eps,
+                          weight_decay=weight_decay,
+                          hessian_power=float(cfg.get("hessian_power", 1.0)),
+                          mask=mask)
     else:
         raise ValueError(
             f"optimizer {name} is not supported on the TPU stack "
-            f"(reference optim_factory names map to optax; {name} has no "
-            f"maintained optax equivalent — adahessian needs a second "
-            f"backward pass and is unused by every reference recipe)")
+            f"(reference optim_factory names map to optax)")
     if weight_decay:
         # coupled L2 (wd·param added to the gradient) — what torch does for
         # sgd/adam-style optimizers, with the reference's bias/norm filtering

@@ -3,13 +3,14 @@ from .registry import Registry
 from .metrics import (AverageMeter, ConfusionMatrix, confusion_matrix_update,
                       get_mious)
 from .logger import (generate_exp_directory, resume_exp_directory,
-                     setup_logger_dist)
+                     setup_logger_dist, write_to_csv)
 from .ckpt import load_checkpoint, resume_checkpoint, save_checkpoint
 from .random import set_random_seed
 
 __all__ = [
     "EasyConfig", "Registry", "AverageMeter", "ConfusionMatrix",
     "confusion_matrix_update", "get_mious", "generate_exp_directory",
+    "write_to_csv",
     "resume_exp_directory", "setup_logger_dist", "load_checkpoint",
     "resume_checkpoint", "save_checkpoint", "set_random_seed",
 ]

@@ -70,6 +70,37 @@ def generate_exp_directory(cfg, exp_name=None, expid=None, run_name=None) -> Non
     Path(cfg.ckpt_dir).mkdir(parents=True, exist_ok=True)
 
 
+def write_to_csv(oa, macc, miou, ious, best_epoch, cfg, write_header=True,
+                 area=5) -> None:
+    """Append one results row to ``cfg.csv_path`` (↔ ``write_to_csv``,
+    main_AA.py:37-48): method, area, OA/mACC/mIoU, per-class IoUs,
+    best_epoch, run dir, wandb link."""
+    import csv
+
+    ious_table = [f"{float(v):.2f}" for v in ious]
+    classes = list(cfg.get("classes", None) or
+                   [f"class{i}" for i in range(len(ious_table))])
+    header = (["method", "Area", "OA", "mACC", "mIoU"] + classes +
+              ["best_epoch", "log_path", "wandb link"])
+    wandb_cfg = cfg.get("wandb", {}) or {}
+    link = "-"
+    if dict(wandb_cfg).get("use_wandb"):
+        try:
+            import wandb
+            link = wandb.run.get_url() if wandb.run is not None else "-"
+        except Exception:
+            link = "-"
+    data = ([cfg.get("cfg_basename", "run"), str(area), f"{float(oa):.2f}",
+             f"{float(macc):.2f}", f"{float(miou):.2f}"] + ious_table +
+            [str(best_epoch), cfg.get("run_dir", "."), link])
+    os.makedirs(os.path.dirname(os.path.abspath(cfg.csv_path)), exist_ok=True)
+    with open(cfg.csv_path, "a", encoding="UTF8", newline="") as f:
+        writer = csv.writer(f)
+        if write_header:
+            writer.writerow(header)
+        writer.writerow(data)
+
+
 def resume_exp_directory(cfg, pretrained_path: str) -> None:
     """Reuse the run dir that contains ``pretrained_path`` (ckpt_util semantics)."""
     if os.path.basename(os.path.dirname(pretrained_path)) == "checkpoint":

@@ -94,3 +94,15 @@ def test_cli_test_mode(tiny_cfg, tmp_path):
     results = main_cli("aa", argv=["--cfg", tiny_cfg, "mode=test",
                                    "epochs=1"])
     assert np.isfinite(results["miou"])
+    # per-class values are plain lists (artifact-serializable)
+    assert isinstance(results["ious"], list) and len(results["ious"]) == 13
+    # the results CSV row was appended next to the run dir
+    # (↔ write_to_csv, main_AA.py:37-48,224-225)
+    import csv
+    import glob
+    csvs = glob.glob(str(tmp_path / "log" / "synthetic" / "*" / "*_test.csv"))
+    assert len(csvs) == 1, csvs
+    rows = list(csv.reader(open(csvs[0])))
+    assert rows[0][:5] == ["method", "Area", "OA", "mACC", "mIoU"]
+    assert len(rows) == 2 and len(rows[1]) == len(rows[0])
+    assert abs(float(rows[1][4]) - results["miou"]) < 0.01

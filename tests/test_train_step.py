@@ -168,3 +168,25 @@ def test_train_step_loss_remat_identical(rng, kind):
         s2, metrics = step(s2, batch, rngk)  # 2nd step exercises the grads
         out[remat] = float(metrics["loss"])
     np.testing.assert_allclose(out[True], out[False], rtol=1e-6)
+
+
+def test_train_step_adahessian_needs_hessian(rng):
+    """adahessian end-to-end: the train step computes the Hutchinson
+    diagonal via jvp through the full model (BN mutables included) and the
+    loss still goes down."""
+    model = BaseSeg(encoder_args=ENCODER_ARGS, decoder_args={},
+                    cls_args=CLS_ARGS)
+    criterion = CrossEntropy(label_smoothing=0.2)
+    batch = _batch(rng)
+    tx = build_tx({"NAME": "adahessian", "weight_decay": 1e-4}, 0.01,
+                  grad_norm_clip=10.0)
+    state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, criterion, tx, "base", NCLS,
+                                   None, AARGS, needs_hessian=True))
+    rngk = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch, rngk)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
