@@ -70,6 +70,8 @@ _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
 _ENV_PRECISION = os.environ.get("AMC3D_FUSED_PRECISION", "default")
 
 _NOUT = 9       # P, Q, Spos, Sneg, npos, nneg, dpos, dneg, thr
+# kill-switch for the bbox chunk pruning (debug / fallback)
+_PRUNE = os.environ.get("AMC3D_CONTRAST_PRUNE", "1") != "0"
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -98,12 +100,41 @@ def _d2_tile(buf_chunk, qx, qy, qz, C):
     return (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
 
 
+def _bbox_lb(qlo, qhi, clo, chi):
+    """Lower bound on d² between any (query in tile box, support in chunk
+    box): per-dim gap clamped at 0, squared, summed.  Inputs are 3-tuples
+    of SCALARS (Mosaic rejects 3-lane vector reductions — 'Offset change');
+    conservative margin is applied by the caller on the threshold side
+    (cross-form fp32 rounding)."""
+    lb = 0.0
+    for d in range(3):
+        gap = jnp.maximum(jnp.maximum(clo[d] - qhi[d], qlo[d] - chi[d]), 0.0)
+        lb = lb + gap * gap
+    return lb
+
+
+def _minmax3(rows):
+    """(n, 3) block → per-dim (min, max) scalar tuples via (n, 1) column
+    reductions (full-array reductions to 0-d are Mosaic-safe)."""
+    lo = tuple(jnp.min(rows[:, d:d + 1]) for d in range(3))
+    hi = tuple(jnp.max(rows[:, d:d + 1]) for d in range(3))
+    return lo, hi
+
+
 def _fwd_kernel(qauxT_ref, buf_ref, out_ref, cand_ref, *, cs: int, C: int,
                 k: int, g: int, tinv: float, cctype_root: bool,
                 has_kth: bool, need_s: bool, need_d: bool, precision):
     """Pass 1 (unless has_kth): tournament best-2 per g-sublane group →
     k-round value extraction → thr.  Pass 2: masked reductions, (cs, tq)
-    tiles, sums over sublanes → (1, tq) rows."""
+    tiles, sums over sublanes → (1, tq) rows.
+
+    Spatial pruning (exact): with Morton-sorted inputs (wrapper) the
+    per-chunk bounding boxes are tight; a chunk whose box-to-box lower
+    bound exceeds the tile's threshold bound cannot contribute any member
+    pair, so both the selection candidates and the reduction pass skip it.
+    Selection stays exact-or-superset: the phase-A bound ``ub`` (k-th
+    candidate of the tile's own chunk) upper-bounds every query's true
+    k-th distance, so no true-neighbor chunk is skipped."""
     t = pl.program_id(1)
     qx = qauxT_ref[0, 0:1, :]               # (1, TQ)
     qy = qauxT_ref[0, 1:2, :]
@@ -112,40 +143,104 @@ def _fwd_kernel(qauxT_ref, buf_ref, out_ref, cand_ref, *, cs: int, C: int,
     tq = qx.shape[1]
     n_pad = buf_ref.shape[1]
     n_chunks = n_pad // cs
+    prune = _PRUNE and n_chunks > 1
+
+    if prune:
+        qlo = (jnp.min(qx), jnp.min(qy), jnp.min(qz))
+        qhi = (jnp.max(qx), jnp.max(qy), jnp.max(qz))
+
+        def chunk_lb(c):
+            pc = buf_ref[0, pl.ds(c * cs, cs), C:C + 3]      # (cs, 3)
+            clo, chi = _minmax3(pc)
+            return _bbox_lb(qlo, qhi, clo, chi)
+    else:
+        chunk_lb = lambda c: 0.0
 
     if has_kth:
         thr = qauxT_ref[0, 4:5, :]
     else:
-        def sel_body(c, _):
+        def ext_rounds(cd, rounds):
+            def ext_body(j, cd):
+                m = jnp.min(cd, axis=0, keepdims=True)
+                return jnp.where(cd == m, _INF, cd)
+            return lax.fori_loop(0, rounds, ext_body, cd)
+
+        def chunk_topk(c):
+            """This chunk's k smallest distances per query, (k, tq), via a
+            best-4-per-STRIDED-group tournament + k in-register extraction
+            rounds.  Hierarchical selection is exact: the global top-k is
+            contained in the union of per-chunk top-ks.  Strided groups
+            (group b = rows {b, b+cs/g, ...}) + capacity 4 keep overflow
+            negligible even when spatial sorting concentrates a query's
+            neighbors into one chunk (measured: capacity 2 overflowed for
+            ~20% of queries on kd-sorted rooms; ≥5-in-one-group is
+            C(24,5)/64⁴ ≈ 0.3%) — overflow and tie collapse only ever
+            RAISE thr (superset direction)."""
             ch = buf_ref[0, pl.ds(c * cs, cs), :]
             d2 = _d2_tile(ch, qx, qy, qz, C)                 # (cs, tq)
-            if g == 0:  # small-N: keep the whole distance column (exact)
-                cand_ref[pl.ds(c * cs, cs), :] = d2
+            if g == 0:  # small-N: exact top-k of the full column
+                cd = d2
             else:
-                d3 = d2.reshape(cs // g, g, tq)
-                m1 = jnp.min(d3, axis=1)                     # (cs//g, tq)
-                m2 = jnp.min(jnp.where(d3 == m1[:, None, :], _INF, d3),
-                             axis=1)
-                cand_ref[pl.ds(c * (cs // g), cs // g), :] = m1
-                cand_ref[pl.ds(n_pad // g + c * (cs // g), cs // g), :] = m2
-            return 0
+                d3 = d2.reshape(g, cs // g, tq)
+                ms = []
+                for _ in range(4):
+                    m = jnp.min(d3, axis=0)                  # (cs//g, tq)
+                    ms.append(m)
+                    d3 = jnp.where(d3 == m[None, :, :], _INF, d3)
+                cd = jnp.concatenate(ms, axis=0)             # (4·cs/g, tq)
+            rows = []
+            for _ in range(k):
+                m = jnp.min(cd, axis=0, keepdims=True)       # (1, tq)
+                rows.append(m)
+                cd = jnp.where(cd == m, _INF, cd)
+            # pad the slab to a sublane multiple (8) so the dynamic-offset
+            # stores stay tile-aligned
+            for _ in range(kp - k):
+                rows.append(jnp.full((1, tq), _INF, jnp.float32))
+            return jnp.concatenate(rows, axis=0)             # (kp, tq), asc
 
-        lax.fori_loop(0, n_chunks, sel_body, 0)
+        kp = -(-k // 8) * 8
 
-        def ext_body(j, cd):
-            m = jnp.min(cd, axis=0, keepdims=True)
-            return jnp.where(cd == m, _INF, cd)
+        def sel_chunk(c):
+            cand_ref[pl.ds(c * kp, kp), :] = chunk_topk(c)
 
-        cd = lax.fori_loop(0, k - 1, ext_body, cand_ref[:])
+        if not prune:
+            def sel_body(c, _):
+                sel_chunk(c)
+                return 0
+            lax.fori_loop(0, n_chunks, sel_body, 0)
+        else:
+            # phase A (functional — no cand_ref reads interleave with the
+            # stores below; a read between dynamic-offset stores proved
+            # schedule-fragile under Mosaic): the tile's own chunk yields
+            # ub ≥ every query's true k-th distance (k-th over a support
+            # subset only shrinks as support grows); phase B stores the
+            # candidates of every chunk that could beat it
+            c0 = (t * tq) // cs
+            candA = chunk_topk(c0)                           # ascending
+            ub = jnp.max(candA[k - 1:k, :]) * (1.0 + 1e-4)
+
+            cand_ref[:] = jnp.full(cand_ref.shape, _INF, cand_ref.dtype)
+
+            def sel_cond(c, _):
+                @pl.when(chunk_lb(c) <= ub)
+                def _():
+                    sel_chunk(c)
+                return 0
+            lax.fori_loop(0, n_chunks, sel_cond, 0)
+
+        cd = ext_rounds(cand_ref[:], k - 1)
         # ties collapse and group overflow only ever raise thr: the
         # threshold set is the exact k-NN set or a slight superset
         thr = jnp.min(cd, axis=0, keepdims=True) * (1.0 + 1e-6)  # (1, tq)
+
+    thr_bound = jnp.max(thr) * (1.0 + 1e-4)
 
     fq = buf_ref[0, pl.ds(t * tq, tq), 0:C]  # (TQ, C) — sublane-dynamic
     qidx = (t * tq + lax.broadcasted_iota(jnp.int32, (1, tq), 1)).astype(
         jnp.float32)
 
-    def body(c, accs):
+    def chunk_reduce(c, accs):
         accP, accQ, accSp, accSn, accNp, accNn, accDp, accDn = accs
         ch = buf_ref[0, pl.ds(c * cs, cs), :]
         d2 = _d2_tile(ch, qx, qy, qz, C)
@@ -181,6 +276,12 @@ def _fwd_kernel(qauxT_ref, buf_ref, out_ref, cand_ref, *, cs: int, C: int,
             accDn = accDn + jnp.sum(md - pd, axis=0, keepdims=True)
         return (accP, accQ, accSp, accSn, accNp, accNn, accDp, accDn)
 
+    def body(c, accs):
+        if not prune:
+            return chunk_reduce(c, accs)
+        return lax.cond(chunk_lb(c) <= thr_bound,
+                        lambda a: chunk_reduce(c, a), lambda a: a, accs)
+
     init = tuple(jnp.zeros((1, tq), jnp.float32) for _ in range(8))
     accs = lax.fori_loop(0, n_chunks, body, init)
     for r in range(8):
@@ -204,7 +305,9 @@ def _w_tile(d2, s, labs, labq, thr, colg, qidx, g4, tinv, need_s):
 
 def _bwd_rows_kernel(qauxT_ref, gT_ref, buf_ref, dfq_ref, *, cs: int, C: int,
                      tinv: float, need_s: bool, precision):
-    """df_i = Σ_j w_ij f_j — query-side gradient, (cs, tq) tiles."""
+    """df_i = Σ_j w_ij f_j — query-side gradient, (cs, tq) tiles.  Chunks
+    beyond the tile's threshold bound have w ≡ 0 and are skipped (exact,
+    same bboxes as the forward)."""
     t = pl.program_id(1)
     qx = qauxT_ref[0, 0:1, :]
     qy = qauxT_ref[0, 1:2, :]
@@ -215,11 +318,17 @@ def _bwd_rows_kernel(qauxT_ref, gT_ref, buf_ref, dfq_ref, *, cs: int, C: int,
           gT_ref[0, 2:3, :], gT_ref[0, 3:4, :])
     tq = qx.shape[1]
     n_pad = buf_ref.shape[1]
+    n_chunks = n_pad // cs
+    prune = _PRUNE and n_chunks > 1
     fq = buf_ref[0, pl.ds(t * tq, tq), 0:C]
     qidx = (t * tq + lax.broadcasted_iota(jnp.int32, (1, tq), 1)).astype(
         jnp.float32)
+    thr_bound = jnp.max(thr) * (1.0 + 1e-4)
+    if prune:
+        qlo = (jnp.min(qx), jnp.min(qy), jnp.min(qz))
+        qhi = (jnp.max(qx), jnp.max(qy), jnp.max(qz))
 
-    def body(c, acc):
+    def chunk_grad(c, acc):
         ch = buf_ref[0, pl.ds(c * cs, cs), :]
         d2 = _d2_tile(ch, qx, qy, qz, C)
         labs = ch[:, C + 3:C + 4]
@@ -235,7 +344,16 @@ def _bwd_rows_kernel(qauxT_ref, gT_ref, buf_ref, dfq_ref, *, cs: int, C: int,
                                      preferred_element_type=jnp.float32,
                                      precision=precision)
 
-    dfq_ref[0] = lax.fori_loop(0, n_pad // cs, body,
+    def body(c, acc):
+        if not prune:
+            return chunk_grad(c, acc)
+        pc = buf_ref[0, pl.ds(c * cs, cs), C:C + 3]
+        clo, chi = _minmax3(pc)
+        lb = _bbox_lb(qlo, qhi, clo, chi)
+        return lax.cond(lb <= thr_bound, lambda a: chunk_grad(c, a),
+                        lambda a: a, acc)
+
+    dfq_ref[0] = lax.fori_loop(0, n_chunks, body,
                                jnp.zeros((tq, C), jnp.float32))
 
 
@@ -254,12 +372,16 @@ def _bwd_sup_kernel(buf2_ref, sauxT_ref, chunk_ref, dfs_ref, *, tq: int,
     sz = sauxT_ref[0, 2:3, :]
     labs = sauxT_ref[0, 3:4, :]
     cs = sx.shape[1]
+    n_tiles = m_pad // tq
+    prune = _PRUNE and n_tiles > 1
     fc = chunk_ref[0, :, 0:C]               # (cs, C)
     colg = (c * cs + lax.broadcasted_iota(jnp.int32, (1, cs), 1)).astype(
         jnp.float32)
+    if prune:
+        clo = (jnp.min(sx), jnp.min(sy), jnp.min(sz))
+        chi = (jnp.max(sx), jnp.max(sy), jnp.max(sz))
 
-    def body(t, acc):
-        qb = buf2_ref[0, pl.ds(t * tq, tq), :]           # (tq, C+9)
+    def tile_grad(t, acc, qb):
         qx, qy, qz = qb[:, C:C + 1], qb[:, C + 1:C + 2], qb[:, C + 2:C + 3]
         labq, thr = qb[:, C + 3:C + 4], qb[:, C + 4:C + 5]
         g4 = (qb[:, C + 5:C + 6], qb[:, C + 6:C + 7],
@@ -277,7 +399,18 @@ def _bwd_sup_kernel(buf2_ref, sauxT_ref, chunk_ref, dfs_ref, *, tq: int,
                                      preferred_element_type=jnp.float32,
                                      precision=precision)
 
-    dfs_ref[0] = lax.fori_loop(0, m_pad // tq, body,
+    def body(t, acc):
+        qb = buf2_ref[0, pl.ds(t * tq, tq), :]           # (tq, C+9)
+        if not prune:
+            return tile_grad(t, acc, qb)
+        qp = qb[:, C:C + 3]
+        thr_bound = jnp.max(qb[:, C + 4:C + 5]) * (1.0 + 1e-4)
+        qlo, qhi = _minmax3(qp)
+        lb = _bbox_lb(qlo, qhi, clo, chi)
+        return lax.cond(lb <= thr_bound, lambda a: tile_grad(t, a, qb),
+                        lambda a: a, acc)
+
+    dfs_ref[0] = lax.fori_loop(0, n_tiles, body,
                                jnp.zeros((cs, C), jnp.float32))
 
 
@@ -327,7 +460,8 @@ def _run_fwd(p, f, lab, kth, k, tinv, cctype_root, interpret, precision,
     prec = _PRECISIONS[precision or _ENV_PRECISION]
     buf, qauxT, n_pad, cs, tq = _prep(p, f, lab, kth)
     g = _group(n_pad)
-    cand_rows = n_pad if g == 0 else 2 * n_pad // g
+    # per-chunk top-k slabs, 8-row aligned (hierarchical selection)
+    cand_rows = (n_pad // cs) * (-(-max(k or 1, 1) // 8) * 8)
     kern = functools.partial(
         _fwd_kernel, cs=cs, C=C, k=(k or 1), g=g, tinv=tinv,
         cctype_root=cctype_root, has_kth=kth is not None,
@@ -412,10 +546,131 @@ def _run_bwd(p, f, lab, thr, gout, tinv, interpret, precision, need_s):
 
 
 # ---------------------------------------------------------------------------
+# Morton sorting (makes the in-kernel bbox pruning effective)
+# ---------------------------------------------------------------------------
+
+# The chunk-pruning bounds are exact for ANY input order; sorting merely
+# tightens the per-chunk bounding boxes so pruning actually fires.  Disable
+# with AMC3D_CONTRAST_SORT=0 (kernels then see the caller's order).
+_SORT = os.environ.get("AMC3D_CONTRAST_SORT", "1") != "0"
+
+
+def _morton_key(p: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, 3) → (B, N) uint32 30-bit Morton code (10 bits/dim over the
+    per-cloud bounding box)."""
+    p = jax.lax.stop_gradient(p)
+    lo = jnp.min(p, axis=1, keepdims=True)
+    hi = jnp.max(p, axis=1, keepdims=True)
+    x = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0,
+                 0.0, 1023.0).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return ((spread(x[..., 0]) << 2) | (spread(x[..., 1]) << 1)
+            | spread(x[..., 2]))
+
+
+def _morton_sort(p: jnp.ndarray):
+    """(B, N, 3) → (sorted p, perm (B, N) int32, inverse perm).
+
+    The sorted POSITIONS are carried through ``lax.sort`` as sort operands
+    rather than re-gathered by the permutation: an in-jit
+    ``take_along_axis`` gather of ``p`` feeding the Pallas custom call
+    miscompiles on the remote-TPU platform (kernel reads corrupted query
+    coordinates; measured npos wrong for 75% of points), while sort-carried
+    operands and feature/label gathers are sound.  Do not "simplify" this
+    back to a gather."""
+    key = _morton_key(p)
+    B, N = key.shape
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    _, sx, sy, sz, perm = jax.lax.sort(
+        (key, p[..., 0], p[..., 1], p[..., 2], idx), dimension=1, num_keys=1)
+    ps = jnp.stack([sx, sy, sz], axis=-1)
+    inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+    return ps, perm.astype(jnp.int32), inv
+
+
+def _factorize(n: int):
+    fs, d = [], 2
+    while n > 1:
+        while n % d == 0:
+            fs.append(d)
+            n //= d
+        d += 1
+    return sorted(fs, reverse=True)
+
+
+def _kd_sort(p: jnp.ndarray, n_pad: int, cs: int):
+    """kd-style recursive median ordering → (sorted p, perm, inv).
+
+    Morton chunks of a 24k-point room span ~half its extent (curve jumps),
+    killing bbox pruning (measured 8/12 chunks visited).  Median splits
+    give each cs-sized chunk a contiguous coordinate slab — the optimal
+    axis-aligned partition for a fixed chunk count (~2-3/12 visited).  Each
+    level is one segmented multi-key ``lax.sort`` by (segment id, chosen
+    coordinate); the split axis is the per-batch greedy argmax of the
+    estimated segment extent.  Positions are sort-carried (never gathered —
+    see _morton_sort)."""
+    B, N, _ = p.shape
+    pp = jax.lax.stop_gradient(p)
+    ext = (jnp.max(pp, axis=1) - jnp.min(pp, axis=1)).astype(jnp.float32)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
+    iota = idx
+    sx, sy, sz = p[..., 0], p[..., 1], p[..., 2]
+    perm = idx
+    size = n_pad
+    for arity in _factorize(n_pad // cs):
+        seg = iota // size          # segments of the PREVIOUS level
+        ax = jnp.argmax(ext, axis=1)                      # (B,)
+        oh = jax.nn.one_hot(ax, 3, dtype=jnp.float32)     # (B, 3)
+        coord = (jax.lax.stop_gradient(sx) * oh[:, 0:1]
+                 + jax.lax.stop_gradient(sy) * oh[:, 1:2]
+                 + jax.lax.stop_gradient(sz) * oh[:, 2:3])
+        _, _, sx, sy, sz, perm = jax.lax.sort(
+            (seg, coord, sx, sy, sz, perm), dimension=1, num_keys=2)
+        ext = ext * (1.0 - oh) + (ext / arity) * oh
+        size //= arity
+    ps = jnp.stack([sx, sy, sz], axis=-1)
+    perm = perm.astype(jnp.int32)
+    inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
+    return ps, perm, inv
+
+
+def _spatial_sort(p: jnp.ndarray):
+    """Dispatch: kd ordering sized to the kernel's chunking."""
+    n_pad, cs, _ = _shapes(p.shape[1])
+    return _kd_sort(p, n_pad, cs)
+
+
+def _sort_enabled(n: int) -> bool:
+    return _SORT and n > CS  # single-chunk shapes have nothing to prune
+
+
+def _gather_n(x, perm):
+    if x.ndim == 3:
+        return jnp.take_along_axis(x, perm[..., None], axis=1)
+    return jnp.take_along_axis(x, perm, axis=1)
+
+
+# ---------------------------------------------------------------------------
 # public entry points (custom VJPs)
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _contrast_reductions_core(p, f, lab, kth, tinv: float = 1.0,
+                              cctype_root: bool = False,
+                              interpret: bool = False,
+                              precision: str = None, need_s: bool = True,
+                              need_d: bool = True):
+    return _run_fwd(p, f, lab, kth, None, tinv, cctype_root, interpret,
+                    precision, need_s, need_d)
+
+
 def contrast_reductions(p, f, lab, kth, tinv: float = 1.0,
                         cctype_root: bool = False, interpret: bool = False,
                         precision: str = None, need_s: bool = True,
@@ -425,9 +680,18 @@ def contrast_reductions(p, f, lab, kth, tinv: float = 1.0,
 
     p (B,N,3), f (B,N,C), lab (B,N) float32 (argmax labels), kth (B,N) d²
     threshold → (B, N, 9) [P,Q,Spos,Sneg,npos,nneg,dpos,dneg,thr].
-    Differentiable in ``f`` only."""
-    return _run_fwd(p, f, lab, kth, None, tinv, cctype_root, interpret,
-                    precision, need_s, need_d)
+    Differentiable in ``f`` only.  Multi-chunk shapes are Morton-sorted on
+    the way in (and un-sorted on the way out) so the kernels' bbox pruning
+    fires; results are permutation-invariant."""
+    if _sort_enabled(p.shape[1]):
+        ps, perm, inv = _spatial_sort(p)
+        out = _contrast_reductions_core(
+            ps, _gather_n(f, perm), _gather_n(lab, perm),
+            _gather_n(kth, perm), tinv, cctype_root, interpret, precision,
+            need_s, need_d)
+        return _gather_n(out, inv)
+    return _contrast_reductions_core(p, f, lab, kth, tinv, cctype_root,
+                                     interpret, precision, need_s, need_d)
 
 
 def _cr_fwd(p, f, lab, kth, tinv, cctype_root, interpret, precision, need_s,
@@ -445,10 +709,19 @@ def _cr_bwd(tinv, cctype_root, interpret, precision, need_s, need_d, res,
             jnp.zeros_like(kth))
 
 
-contrast_reductions.defvjp(_cr_fwd, _cr_bwd)
+_contrast_reductions_core.defvjp(_cr_fwd, _cr_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _contrast_reductions_selfk_core(p, f, lab, k: int, tinv: float = 1.0,
+                                    cctype_root: bool = False,
+                                    interpret: bool = False,
+                                    precision: str = None,
+                                    need_s: bool = True, need_d: bool = True):
+    return _run_fwd(p, f, lab, None, k, tinv, cctype_root, interpret,
+                    precision, need_s, need_d)
+
+
 def contrast_reductions_selfk(p, f, lab, k: int, tinv: float = 1.0,
                               cctype_root: bool = False,
                               interpret: bool = False, precision: str = None,
@@ -456,9 +729,17 @@ def contrast_reductions_selfk(p, f, lab, k: int, tinv: float = 1.0,
     """Fully fused variant: the k-th-nearest threshold is computed inside
     the forward kernel (value-only tournament selection — exact-or-superset
     neighborhoods), so no separate kNN runs at all.  ``k`` counts the self
-    point, matching ``knn(p, p, k)``'s self-first layout."""
-    return _run_fwd(p, f, lab, None, k, tinv, cctype_root, interpret,
-                    precision, need_s, need_d)
+    point, matching ``knn(p, p, k)``'s self-first layout.  Multi-chunk
+    shapes are Morton-sorted in/out so the bbox pruning fires."""
+    if _sort_enabled(p.shape[1]):
+        ps, perm, inv = _spatial_sort(p)
+        out = _contrast_reductions_selfk_core(
+            ps, _gather_n(f, perm), _gather_n(lab, perm),
+            k, tinv, cctype_root, interpret, precision, need_s, need_d)
+        return _gather_n(out, inv)
+    return _contrast_reductions_selfk_core(p, f, lab, k, tinv, cctype_root,
+                                           interpret, precision, need_s,
+                                           need_d)
 
 
 def _crs_fwd(p, f, lab, k, tinv, cctype_root, interpret, precision, need_s,
@@ -476,7 +757,7 @@ def _crs_bwd(k, tinv, cctype_root, interpret, precision, need_s, need_d,
     return (jnp.zeros_like(p), df, jnp.zeros_like(lab, jnp.float32))
 
 
-contrast_reductions_selfk.defvjp(_crs_fwd, _crs_bwd)
+_contrast_reductions_selfk_core.defvjp(_crs_fwd, _crs_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -490,37 +771,96 @@ def _vote_kernel(qT_ref, buf_ref, out_ref, cand_ref, *, cs: int, ncls: int,
     the argmax of the propagated soft label, and argmax-of-mean-one-hot ==
     majority vote).  Selection pass as in _fwd_kernel (self IS a support
     point here, so no self-exclusion); counts via one MXU matmul against the
-    support's one-hot labels."""
+    support's one-hot labels.  Same exact bbox chunk-pruning as _fwd_kernel;
+    queries are not support points here, so phase A runs on the chunk with
+    the smallest box lower bound instead of an 'own' chunk."""
     qx = qT_ref[0, 0:1, :]
     qy = qT_ref[0, 1:2, :]
     qz = qT_ref[0, 2:3, :]
     tq = qx.shape[1]
     n_pad = buf_ref.shape[1]
     n_chunks = n_pad // cs
+    prune = _PRUNE and n_chunks > 1
 
-    def sel_body(c, _):
+    if prune:
+        qlo = (jnp.min(qx), jnp.min(qy), jnp.min(qz))
+        qhi = (jnp.max(qx), jnp.max(qy), jnp.max(qz))
+
+        def chunk_lb(c):
+            pc = buf_ref[0, pl.ds(c * cs, cs), ncls:ncls + 3]
+            clo, chi = _minmax3(pc)
+            return _bbox_lb(qlo, qhi, clo, chi)
+    else:
+        chunk_lb = lambda c: 0.0
+
+    def ext_rounds(cd, rounds):
+        def ext_body(j, cd):
+            m = jnp.min(cd, axis=0, keepdims=True)
+            return jnp.where(cd == m, _INF, cd)
+        return lax.fori_loop(0, rounds, ext_body, cd)
+
+    kp = -(-k // 8) * 8
+
+    def chunk_topk(c):
+        # hierarchical per-chunk top-k — see _fwd_kernel.chunk_topk
         ch = buf_ref[0, pl.ds(c * cs, cs), :]
         d2 = _d2_tile(ch, qx, qy, qz, ncls)
         if g == 0:
-            cand_ref[pl.ds(c * cs, cs), :] = d2
+            cd = d2
         else:
-            d3 = d2.reshape(cs // g, g, tq)
-            m1 = jnp.min(d3, axis=1)
-            m2 = jnp.min(jnp.where(d3 == m1[:, None, :], _INF, d3), axis=1)
-            cand_ref[pl.ds(c * (cs // g), cs // g), :] = m1
-            cand_ref[pl.ds(n_pad // g + c * (cs // g), cs // g), :] = m2
-        return 0
+            d3 = d2.reshape(g, cs // g, tq)
+            ms = []
+            for _ in range(4):
+                m = jnp.min(d3, axis=0)
+                ms.append(m)
+                d3 = jnp.where(d3 == m[None, :, :], _INF, d3)
+            cd = jnp.concatenate(ms, axis=0)
+        rows = []
+        for _ in range(k):
+            m = jnp.min(cd, axis=0, keepdims=True)
+            rows.append(m)
+            cd = jnp.where(cd == m, _INF, cd)
+        for _ in range(kp - k):
+            rows.append(jnp.full((1, tq), _INF, jnp.float32))
+        return jnp.concatenate(rows, axis=0)
 
-    lax.fori_loop(0, n_chunks, sel_body, 0)
+    def sel_chunk(c):
+        cand_ref[pl.ds(c * kp, kp), :] = chunk_topk(c)
 
-    def ext_body(j, cd):
-        m = jnp.min(cd, axis=0, keepdims=True)
-        return jnp.where(cd == m, _INF, cd)
+    if not prune:
+        def sel_body(c, _):
+            sel_chunk(c)
+            return 0
+        lax.fori_loop(0, n_chunks, sel_body, 0)
+    else:
+        # phase A (functional — see _fwd_kernel): queries are not support
+        # points here, so use the chunk with the smallest box lower bound
+        def min_lb(c, best):
+            lb = chunk_lb(c)
+            best_lb, best_c = best
+            take = lb < best_lb
+            return (jnp.where(take, lb, best_lb),
+                    jnp.where(take, c, best_c))
 
-    cd = lax.fori_loop(0, k - 1, ext_body, cand_ref[:])
+        _, c0 = lax.fori_loop(0, n_chunks, min_lb,
+                              (jnp.float32(_INF), jnp.int32(0)))
+        candA = chunk_topk(c0)                               # ascending
+        ub = jnp.max(candA[k - 1:k, :]) * (1.0 + 1e-4)
+
+        cand_ref[:] = jnp.full(cand_ref.shape, _INF, cand_ref.dtype)
+
+        def sel_cond(c, _):
+            @pl.when(chunk_lb(c) <= ub)
+            def _():
+                sel_chunk(c)
+            return 0
+        lax.fori_loop(0, n_chunks, sel_cond, 0)
+
+    cd = ext_rounds(cand_ref[:], k - 1)
     thr = jnp.min(cd, axis=0, keepdims=True) * (1.0 + 1e-6)
+    thr_bound = jnp.max(thr) * (1.0 + 1e-4)
 
-    def body(c, acc):
+    def chunk_count(c, acc):
         ch = buf_ref[0, pl.ds(c * cs, cs), :]
         d2 = _d2_tile(ch, qx, qy, qz, ncls)
         nbf = jnp.where(d2 <= thr, 1.0, 0.0)                 # (cs, tq)
@@ -529,6 +869,12 @@ def _vote_kernel(qT_ref, buf_ref, out_ref, cand_ref, *, cs: int, ncls: int,
         return acc + lax.dot_general(nbf, oh, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
                                      precision=precision)
+
+    def body(c, acc):
+        if not prune:
+            return chunk_count(c, acc)
+        return lax.cond(chunk_lb(c) <= thr_bound,
+                        lambda a: chunk_count(c, a), lambda a: a, acc)
 
     out_ref[0] = lax.fori_loop(0, n_chunks, body,
                                jnp.zeros((tq, ncls), jnp.float32))
@@ -548,8 +894,16 @@ def label_vote(p_sup, lab_sup, p_q, k: int, num_classes: int,
     n_pad, cs, tq = _shapes(N)
     m_pad = -(-M // tq) * tq
     g = _group(n_pad)
-    cand_rows = n_pad if g == 0 else 2 * n_pad // g
+    cand_rows = (n_pad // cs) * (-(-k // 8) * 8)
 
+    q_inv = None
+    if _sort_enabled(N):
+        # sorted support tightens the chunk bboxes; sorted queries tighten
+        # the tile boxes.  The vote counts are permutation-invariant.
+        # Positions are sort-carried, not gathered (_morton_sort doc).
+        p_sup, sperm, _ = _spatial_sort(p_sup)
+        lab_sup = _gather_n(lab_sup, sperm)
+        p_q, _, q_inv = _spatial_sort(p_q)
     oh = jax.nn.one_hot(lab_sup.astype(jnp.int32), ncls, dtype=jnp.float32)
     buf = jnp.concatenate([oh, p_sup], axis=-1)
     buf = _pad_to(buf, n_pad, 1, value=0.0)
@@ -574,4 +928,7 @@ def label_vote(p_sup, lab_sup, p_q, k: int, num_classes: int,
         compiler_params=_params(),
         interpret=interpret,
     )(qT, buf)
-    return jnp.argmax(counts[:, :M], axis=-1).astype(jnp.int32)
+    votes = jnp.argmax(counts[:, :M], axis=-1).astype(jnp.int32)
+    if q_inv is not None:
+        votes = jnp.take_along_axis(votes, q_inv, axis=1)
+    return votes

@@ -173,6 +173,81 @@ TQ_BIG = 64       # small tile keeps the unrolled extraction working set in VMEM
 CS_BIG = 8192     # chunk → 2·nbc = 128 candidate lanes exactly (no padding)
 
 
+def _ball_kernel_value(q_ref, s_ref, od_ref, d2_ref, cd_ref, *, k: int,
+                       n_pad: int, radius2: float):
+    """Value-only ball query: the selection value IS the index priority
+    (in-ball → global index, a float-exact integer < 2²⁴; out-of-ball →
+    _INF + index, don't-care).  Best-2-per-bin and the k-extraction need no
+    argmin and no index side-arrays — half the VPU passes and half the
+    candidate scratch of the index-tracking kernel.  Valid priorities are
+    unique, so per-bin tie masking is exact; invalid slots may collapse,
+    which only reorders don't-care padding."""
+    q = q_ref[0]                       # (TQ, 3)
+    tq = q.shape[0]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    nbc = CS // BIN
+    n_chunks = n_pad // CS
+    nb = n_pad // BIN
+
+    for c in range(n_chunks):
+        sx = s_ref[0, 0:1, c * CS:(c + 1) * CS]
+        sy = s_ref[0, 1:2, c * CS:(c + 1) * CS]
+        sz = s_ref[0, 2:3, c * CS:(c + 1) * CS]
+        d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
+        col_g = lax.broadcasted_iota(
+            jnp.int32, (tq, CS), 1).astype(jnp.float32) + float(c * CS)
+        d2_ref[:] = jnp.where(d2 < radius2, col_g, _INF + col_g)
+        for b in range(nbc):
+            blk = d2_ref[:, b * BIN:(b + 1) * BIN]
+            gbin = c * nbc + b
+            m1 = jnp.min(blk, axis=1, keepdims=True)
+            m2 = jnp.min(jnp.where(blk == m1, _INF, blk), axis=1,
+                         keepdims=True)
+            cd_ref[:, gbin:gbin + 1] = m1
+            cd_ref[:, nb + gbin:nb + gbin + 1] = m2
+
+    for j in range(k):
+        cand = cd_ref[:]
+        m = jnp.min(cand, axis=1, keepdims=True)
+        od_ref[0, :, j:j + 1] = m
+        cd_ref[:] = jnp.where(cand == m, _INF, cand)
+
+
+def _ball_kernel_value_big(q_ref, s_ref, od_ref, cd_ref, *, k: int,
+                           n_chunks: int, cs: int, radius2: float):
+    """Large-N value-only ball query (support chunks on the grid, as
+    _knn_kernel_big)."""
+    c = pl.program_id(2)
+    q = q_ref[0]
+    tq = q.shape[0]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    nbc = cs // BIN
+
+    sx = s_ref[0, 0:1, :]
+    sy = s_ref[0, 1:2, :]
+    sz = s_ref[0, 2:3, :]
+    d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
+    col_g = (lax.broadcasted_iota(jnp.int32, (tq, cs), 1)
+             + c * cs).astype(jnp.float32)
+    v = jnp.where(d2 < radius2, col_g, _INF + col_g)
+    ms = []
+    for b in range(nbc):
+        blk = v[:, b * BIN:(b + 1) * BIN]
+        m1 = jnp.min(blk, axis=1, keepdims=True)
+        m2 = jnp.min(jnp.where(blk == m1, _INF, blk), axis=1, keepdims=True)
+        ms.extend([m1, m2])
+    cd_ref[pl.ds(c, 1), :, :] = jnp.concatenate(ms, axis=1)[None]
+
+    @pl.when(c == n_chunks - 1)
+    def _extract():
+        od_ref[0] = jnp.zeros_like(od_ref[0])
+        for j in range(k):
+            cand = cd_ref[:]                               # (NC, TQ, L)
+            m = jnp.min(cand, axis=(0, 2), keepdims=True)  # (1, TQ, 1)
+            od_ref[0, :, j:j + 1] = m[0]
+            cd_ref[:] = jnp.where(cand == m, _INF, cand)
+
+
 def _call_kernel(q, planes, k, n_pad, B, m_pad_unused=None, radius2=None,
                  interpret=False):
     kpad = -(-k // BIN) * BIN
@@ -242,6 +317,59 @@ def _call_kernel(q, planes, k, n_pad, B, m_pad_unused=None, radius2=None,
     )(q, planes)
 
 
+def _call_ball_value(q, planes, k, n_pad, B, radius2, interpret=False):
+    kpad = -(-k // BIN) * BIN
+    big = n_pad > _BIG_N
+    tile = TQ_BIG if big else TQ
+    M = q.shape[1]
+    m_pad = -(-M // tile) * tile
+    if m_pad != M:
+        q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
+    if big:
+        n_chunks = n_pad // CS_BIG
+        kern = functools.partial(_ball_kernel_value_big, k=k,
+                                 n_chunks=n_chunks, cs=CS_BIG,
+                                 radius2=radius2)
+        return pl.pallas_call(
+            kern,
+            grid=(B, m_pad // tile, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, tile, 3), lambda b, t, c: (b, t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, CS_BIG), lambda b, t, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile, kpad), lambda b, t, c: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, m_pad, kpad), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_chunks, tile, 2 * (CS_BIG // BIN)),
+                           jnp.float32),
+            ],
+            interpret=interpret,
+        )(q, planes)
+    kern = functools.partial(_ball_kernel_value, k=k, n_pad=n_pad,
+                             radius2=radius2)
+    return pl.pallas_call(
+        kern,
+        grid=(B, m_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_pad), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, kpad), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, m_pad, kpad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, CS), jnp.float32),
+            pltpu.VMEM((tile, 2 * (n_pad // BIN)), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, planes)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def knn_pallas(support: jnp.ndarray, query: jnp.ndarray, k: int,
                interpret: bool = False):
@@ -296,11 +424,13 @@ def ball_query_pallas(support: jnp.ndarray, query: jnp.ndarray, radius: float,
                       constant_values=1e4)
     planes = jnp.transpose(sup, (0, 2, 1))
 
-    oi, od = _call_kernel(query, planes, k, n_pad, B,
+    od = _call_ball_value(query, planes, k, n_pad, B,
                           radius2=float(radius) ** 2, interpret=interpret)
-    oi = oi[:, :M, :k]
     od = od[:, :M, :k]
     valid = od < _INF
+    # the selection value IS the (post-permutation) index: float-exact for
+    # valid slots (< 2^24); invalid slots are don't-care garbage
+    oi = od.astype(jnp.int32)
     oi = jnp.take(perm, jnp.clip(oi, 0, N - 1), axis=0).astype(jnp.int32)
     # pad invalid slots with the first in-ball index; all-empty balls → 0
     # (zero-init reference semantics, ball_query_gpu.cu:40-47)

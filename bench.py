@@ -152,9 +152,16 @@ def main():
     if os.environ.get("BENCH_CANARY", "1") != "0":
         canary = _device_canary()  # raises (non-zero exit) on regression
 
+    import jax.numpy as _jnp
+
+    # BENCH_AMP=1 → bf16 model dtype (the use_amp recipe axis; the
+    # reference default recipe is fp32, cfgs/default.yaml:46, so the
+    # headline number stays fp32 unless the env says otherwise)
+    amp = os.environ.get("BENCH_AMP", "0") != "0"
     encoder_args, cls_args = _flagship_cfg()
     model = BaseSeg_AMContrast3D(encoder_args=encoder_args, decoder_args={},
-                                 cls_args=cls_args)
+                                 cls_args=cls_args,
+                                 dtype=_jnp.bfloat16 if amp else _jnp.float32)
     criterion = CrossEntropyAce()
     lr_fn, _ = build_scheduler_from_cfg({"sched": "cosine", "epochs": 150,
                                          "lr": 0.01, "min_lr": 1e-5})
@@ -192,7 +199,8 @@ def main():
 
     detail = {"batch": B, "points": N, "step_ms": round(dt * 1e3, 2),
               "device": str(jax.devices()[0]),
-              "loss": float(metrics["loss"]), "canary": canary}
+              "loss": float(metrics["loss"]), "canary": canary,
+              "dtype": "bfloat16" if amp else "float32"}
 
     # analytic Pallas FLOPs: the fused contrast/vote kernels are custom
     # calls (zero in XLA cost analysis); their matmul shapes are static, so
