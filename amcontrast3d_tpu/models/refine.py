@@ -31,6 +31,24 @@ def dual_masks(p: jnp.ndarray, f: jnp.ndarray, a: jnp.ndarray,
     into one cloud before the kNN (MaskedRefine.py:50-52) so neighborhoods
     may cross cloud boundaries; here the kNN is per-cloud.
     """
+    from ..loss.contrast import _fused_enabled
+    from ..ops.knn import _use_approx
+    if (fusion in ("MIN", "MIN_ALL0") and _fused_enabled({})
+            and _use_approx()):
+        # fully fused path: selection + masked argmin/zero-mask reduction +
+        # one matmul in a single Pallas kernel family — no kNN, no gathers
+        # (exact-or-superset neighborhoods, argmin ties averaged:
+        # DEVIATIONS.md §11)
+        import jax
+        from ..ops.contrast_pallas import dual_masks_cross
+        cross = dual_masks_cross(p, f, a, nsample_k, fusion,
+                                 interpret=jax.default_backend() != "tpu")
+        self_mask = jnp.logical_and(a >= threshold, a <= threshold_max)
+        rate = jnp.mean(self_mask.astype(jnp.float32)) * 100.0
+        s = self_mask[..., None].astype(f.dtype)
+        f_new = f * (1.0 - s) + cross * s
+        return gamma * f_new + (1.0 - gamma) * f, rate
+
     from ..ops.knn import knn_tolerant
     idx, _ = knn_tolerant(p, p, nsample_k)
     idx = idx[..., 1:]  # drop self-loop (MaskedRefine.py:59-60)

@@ -932,3 +932,335 @@ def label_vote(p_sup, lab_sup, p_q, k: int, num_classes: int,
     if q_inv is not None:
         votes = jnp.take_along_axis(votes, q_inv, axis=1)
     return votes
+
+
+# ---------------------------------------------------------------------------
+# fused DualMasks cross-feature kernel (MM masked refinement)
+# ---------------------------------------------------------------------------
+# ↔ MaskedRefine.py:49-108 CrossMask: per point, the feature of its
+# minimum-ambiguity kNN neighbor ('MIN', ties averaged) or the mean over
+# zero-ambiguity neighbors ('MIN_ALL0').  The XLA path needs a kNN + a
+# (B, N, K) ambiguity gather (+ a (B, N, K, C) feature gather for ALL0);
+# here one kernel runs the threshold selection (as _fwd_kernel), a masked
+# min-reduction for the per-query minimum neighbor ambiguity, and one MXU
+# matmul against a 0/1 weight tile — neighborhoods are exact-or-superset
+# and argmin ties are averaged (both in DEVIATIONS.md §11; exact equality
+# holds whenever the min-ambiguity member is unique).  The VJP is a single
+# support-side matmul kernel: w does not depend on f at all.
+
+def _refine_fwd_kernel(qauxT_ref, buf_ref, outf_ref, outs_ref, cand_ref, *,
+                       cs: int, C: int, k: int, g: int, fusion_min: bool,
+                       precision):
+    t = pl.program_id(1)
+    qx = qauxT_ref[0, 0:1, :]
+    qy = qauxT_ref[0, 1:2, :]
+    qz = qauxT_ref[0, 2:3, :]
+    tq = qx.shape[1]
+    n_pad = buf_ref.shape[1]
+    n_chunks = n_pad // cs
+    prune = _PRUNE and n_chunks > 1
+    po = C + 1      # buf = [f | 1 | x y z | a]
+
+    if prune:
+        qlo = (jnp.min(qx), jnp.min(qy), jnp.min(qz))
+        qhi = (jnp.max(qx), jnp.max(qy), jnp.max(qz))
+
+        def chunk_lb(c):
+            pc = buf_ref[0, pl.ds(c * cs, cs), po:po + 3]
+            clo, chi = _minmax3(pc)
+            return _bbox_lb(qlo, qhi, clo, chi)
+    else:
+        chunk_lb = lambda c: 0.0
+
+    kp = -(-k // 8) * 8
+
+    def chunk_topk(c):
+        # hierarchical per-chunk top-k — see _fwd_kernel.chunk_topk
+        ch = buf_ref[0, pl.ds(c * cs, cs), :]
+        d2 = _d2_tile(ch, qx, qy, qz, po)
+        if g == 0:
+            cd = d2
+        else:
+            d3 = d2.reshape(g, cs // g, tq)
+            ms = []
+            for _ in range(4):
+                m = jnp.min(d3, axis=0)
+                ms.append(m)
+                d3 = jnp.where(d3 == m[None, :, :], _INF, d3)
+            cd = jnp.concatenate(ms, axis=0)
+        rows = []
+        for _ in range(k):
+            m = jnp.min(cd, axis=0, keepdims=True)
+            rows.append(m)
+            cd = jnp.where(cd == m, _INF, cd)
+        for _ in range(kp - k):
+            rows.append(jnp.full((1, tq), _INF, jnp.float32))
+        return jnp.concatenate(rows, axis=0)
+
+    def sel_chunk(c):
+        cand_ref[pl.ds(c * kp, kp), :] = chunk_topk(c)
+
+    if not prune:
+        def sel_body(c, _):
+            sel_chunk(c)
+            return 0
+        lax.fori_loop(0, n_chunks, sel_body, 0)
+    else:
+        # phase A functional (no cand_ref read between dynamic stores —
+        # see _fwd_kernel); queries ARE support rows, so the tile's own
+        # chunk bounds every query's true k-th distance
+        c0 = (t * tq) // cs
+        candA = chunk_topk(c0)
+        ub = jnp.max(candA[k - 1:k, :]) * (1.0 + 1e-4)
+        cand_ref[:] = jnp.full(cand_ref.shape, _INF, cand_ref.dtype)
+
+        def sel_cond(c, _):
+            @pl.when(chunk_lb(c) <= ub)
+            def _():
+                sel_chunk(c)
+            return 0
+        lax.fori_loop(0, n_chunks, sel_cond, 0)
+
+    def ext_body(j, cd):
+        m = jnp.min(cd, axis=0, keepdims=True)
+        return jnp.where(cd == m, _INF, cd)
+
+    cd = lax.fori_loop(0, k - 1, ext_body, cand_ref[:])
+    thr = jnp.min(cd, axis=0, keepdims=True) * (1.0 + 1e-6)   # (1, tq)
+    thr_bound = jnp.max(thr) * (1.0 + 1e-4)
+    qidx = (t * tq + lax.broadcasted_iota(jnp.int32, (1, tq), 1)).astype(
+        jnp.float32)
+
+    def members(c, ch):
+        d2 = _d2_tile(ch, qx, qy, qz, po)
+        colg = (c * cs + lax.broadcasted_iota(jnp.int32, (cs, tq), 0)
+                ).astype(jnp.float32)
+        return jnp.logical_and(d2 <= thr, colg != qidx)
+
+    # pass 2: per-query minimum member ambiguity (MIN fusion only)
+    if fusion_min:
+        def chunk_min(c, mv):
+            ch = buf_ref[0, pl.ds(c * cs, cs), :]
+            av = ch[:, po + 3:po + 4]                        # (cs, 1)
+            am = jnp.where(members(c, ch), av, _INF)
+            return jnp.minimum(mv, jnp.min(am, axis=0, keepdims=True))
+
+        def min_body(c, mv):
+            if not prune:
+                return chunk_min(c, mv)
+            return lax.cond(chunk_lb(c) <= thr_bound,
+                            lambda v: chunk_min(c, v), lambda v: v, mv)
+
+        mv = lax.fori_loop(0, n_chunks, min_body,
+                           jnp.full((1, tq), _INF, jnp.float32))
+    else:
+        mv = jnp.zeros((1, tq), jnp.float32)
+
+    # pass 3: 0/1 weights -> one MXU matmul against [f | 1] (the ones
+    # column yields the member count in lane C, (tq, 1)-oriented for the
+    # normalization); a (1, tq)-oriented count accumulates for the VJP
+    def chunk_w(c, accs):
+        acc, cnt = accs
+        ch = buf_ref[0, pl.ds(c * cs, cs), :]
+        av = ch[:, po + 3:po + 4]
+        sel = (av == mv) if fusion_min else (av <= 0.0)      # (cs, tq)
+        w = jnp.where(jnp.logical_and(members(c, ch), sel), 1.0, 0.0)
+        acc = acc + lax.dot_general(w, ch[:, 0:C + 1],
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)      # (tq, C+1)
+        return acc, cnt + jnp.sum(w, axis=0, keepdims=True)
+
+    def w_body(c, accs):
+        if not prune:
+            return chunk_w(c, accs)
+        return lax.cond(chunk_lb(c) <= thr_bound,
+                        lambda a: chunk_w(c, a), lambda a: a, accs)
+
+    acc, cnt = lax.fori_loop(
+        0, n_chunks, w_body,
+        (jnp.zeros((tq, C + 1), jnp.float32), jnp.zeros((1, tq), jnp.float32)))
+    denom = (jnp.maximum(acc[:, C:C + 1], 1.0) if fusion_min
+             else jnp.full((tq, 1), float(k - 1), jnp.float32))
+    outf_ref[0] = acc[:, 0:C] / denom
+    outs_ref[0, 0:1, :] = thr
+    outs_ref[0, 1:2, :] = mv
+    outs_ref[0, 2:3, :] = cnt
+
+
+def _refine_bwd_kernel(buf2_ref, sauxT_ref, dfs_ref, *, tq: int, C: int,
+                       fusion_min: bool, precision):
+    """df_j = Σ_i w_ij g_i / c_i — support-side only (w is f-free).  buf2 =
+    [g/c | x y z | thr m] query-resident; one support chunk per grid step."""
+    c = pl.program_id(1)
+    m_pad = buf2_ref.shape[1]
+    sx = sauxT_ref[0, 0:1, :]
+    sy = sauxT_ref[0, 1:2, :]
+    sz = sauxT_ref[0, 2:3, :]
+    sa = sauxT_ref[0, 3:4, :]
+    cs = sx.shape[1]
+    n_tiles = m_pad // tq
+    prune = _PRUNE and n_tiles > 1
+    colg = (c * cs + lax.broadcasted_iota(jnp.int32, (1, cs), 1)).astype(
+        jnp.float32)
+    if prune:
+        clo = (jnp.min(sx), jnp.min(sy), jnp.min(sz))
+        chi = (jnp.max(sx), jnp.max(sy), jnp.max(sz))
+
+    def tile_grad(t, acc, qb):
+        qx, qy, qz = qb[:, C:C + 1], qb[:, C + 1:C + 2], qb[:, C + 2:C + 3]
+        thr, mv = qb[:, C + 3:C + 4], qb[:, C + 4:C + 5]
+        gq = qb[:, 0:C]
+        d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2    # (tq, cs)
+        qidx = (t * tq + lax.broadcasted_iota(jnp.int32, (tq, 1), 0)).astype(
+            jnp.float32)
+        nb = jnp.logical_and(d2 <= thr, colg != qidx)
+        sel = (sa == mv) if fusion_min else (sa <= 0.0)          # (tq, cs)
+        w = jnp.where(jnp.logical_and(nb, sel), 1.0, 0.0)
+        return acc + lax.dot_general(w, gq, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)        # (cs, C)
+
+    def body(t, acc):
+        qb = buf2_ref[0, pl.ds(t * tq, tq), :]
+        if not prune:
+            return tile_grad(t, acc, qb)
+        qp = qb[:, C:C + 3]
+        thr_bound = jnp.max(qb[:, C + 3:C + 4]) * (1.0 + 1e-4)
+        qlo, qhi = _minmax3(qp)
+        lb = _bbox_lb(qlo, qhi, clo, chi)
+        return lax.cond(lb <= thr_bound, lambda a: tile_grad(t, a, qb),
+                        lambda a: a, acc)
+
+    dfs_ref[0] = lax.fori_loop(0, n_tiles, body,
+                               jnp.zeros((cs, C), jnp.float32))
+
+
+def _refine_run_fwd(p, f, a, k, fusion_min, interpret, precision):
+    B, N, C = f.shape
+    # HIGHEST by default: unlike the contrast similarity matmuls, the output
+    # here IS the copied feature (0/1 weights), so bf16 inputs would round
+    # every refined feature by ~0.4%; the matmul only covers unpruned chunk
+    # pairs and is far off the critical path
+    prec = _PRECISIONS[precision or "highest"]
+    n_pad, cs, tq = _shapes(N)
+    g = _group(n_pad)
+    cand_rows = (n_pad // cs) * (-(-k // 8) * 8)
+    ones = jnp.ones((B, N, 1), jnp.float32)
+    buf = jnp.concatenate([f, ones, p, a[..., None]], axis=-1)   # C+5
+    buf = _pad_to(buf, n_pad, 1, value=0.0)
+    if n_pad > N:
+        buf = buf.at[:, N:, C + 1:C + 4].set(1e4)
+        buf = buf.at[:, N:, C + 4].set(_INF)
+    qauxT = jnp.transpose(_pad_to(p, n_pad, 1, value=1e4), (0, 2, 1))
+
+    outf, outs = pl.pallas_call(
+        functools.partial(_refine_fwd_kernel, cs=cs, C=C, k=k, g=g,
+                          fusion_min=fusion_min, precision=prec),
+        grid=(B, n_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, 3, tq), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, C + 5), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tq), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, n_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((cand_rows, tq), jnp.float32)],
+        compiler_params=_params(),
+        interpret=interpret,
+    )(qauxT, buf)
+    scal = jnp.transpose(outs, (0, 2, 1))[:, :N]                 # (B, N, 3)
+    return outf[:, :N], scal[..., 0], scal[..., 1], scal[..., 2]
+
+
+def _refine_run_bwd(p, a, thr, mv, cnt, gout, k, fusion_min, interpret,
+                    precision):
+    B, N, C = gout.shape
+    prec = _PRECISIONS[precision or "highest"]  # see _refine_run_fwd
+    n_pad, cs, tq = _shapes(N)
+    denom = jnp.maximum(cnt, 1.0) if fusion_min else float(k - 1)
+    gq = gout / denom[..., None] if fusion_min else gout / denom
+    buf2 = jnp.concatenate([gq, p, thr[..., None], mv[..., None]], axis=-1)
+    buf2 = _pad_to(buf2, n_pad, 1, value=0.0)
+    if n_pad > N:
+        buf2 = buf2.at[:, N:, C + 3].set(-1.0)  # padded queries: no members
+    sauxT = jnp.transpose(
+        jnp.concatenate([_pad_to(p, n_pad, 1, value=1e4),
+                         _pad_to(a[..., None], n_pad, 1, value=_INF)],
+                        axis=-1), (0, 2, 1))
+    cs_sup = 512 if n_pad % 512 == 0 else n_pad
+    tq_sup = min(TQ, n_pad)
+    dfs = pl.pallas_call(
+        functools.partial(_refine_bwd_kernel, tq=tq_sup, C=C,
+                          fusion_min=fusion_min, precision=prec),
+        grid=(B, n_pad // cs_sup),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, C + 5), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, cs_sup), lambda b, c: (b, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cs_sup, C), lambda b, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+        compiler_params=_params(),
+        interpret=interpret,
+    )(buf2, sauxT)
+    return dfs[:, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _refine_cross_core(p, f, a, k: int, fusion_min: bool,
+                       interpret: bool = False, precision: str = None):
+    return _refine_run_fwd(p, f, a, k, fusion_min, interpret, precision)[0]
+
+
+def _rc_fwd(p, f, a, k, fusion_min, interpret, precision):
+    cross, thr, mv, cnt = _refine_run_fwd(p, f, a, k, fusion_min, interpret,
+                                          precision)
+    return cross, (p, a, thr, mv, cnt)
+
+
+def _rc_bwd(k, fusion_min, interpret, precision, res, gout):
+    p, a, thr, mv, cnt = res
+    df = _refine_run_bwd(p, a, thr, mv, cnt, gout, k, fusion_min, interpret,
+                         precision)
+    # p and a reach the output only through the (discrete) membership and
+    # argmin masks — no gradient, matching the reference's gather-of-argmin
+    return (jnp.zeros_like(p), df, jnp.zeros_like(a))
+
+
+_refine_cross_core.defvjp(_rc_fwd, _rc_bwd)
+
+
+def dual_masks_cross(p, f, a, k: int, fusion: str, interpret: bool = False,
+                     precision: str = None):
+    """Fused CrossMask feature (B, N, C) for DualMasks refinement.
+
+    p (B, N, 3), f (B, N, C) any float dtype, a (B, N) ambiguity;
+    ``k`` counts the self point (kNN(p, p, k) layout, self dropped).
+    Differentiable in ``f`` only.  Multi-chunk shapes are spatially sorted
+    in/out (positions sort-carried — see _morton_sort)."""
+    fusion_min = {"MIN": True, "MIN_ALL0": False}[fusion]
+    dt = f.dtype
+    f32 = f.astype(jnp.float32)
+    a32 = a.astype(jnp.float32)
+    if _sort_enabled(p.shape[1]):
+        ps, perm, inv = _spatial_sort(p)
+        cross = _refine_cross_core(ps, _gather_n(f32, perm),
+                                   _gather_n(a32, perm), k, fusion_min,
+                                   interpret, precision)
+        cross = _gather_n(cross, inv)
+    else:
+        cross = _refine_cross_core(p, f32, a32, k, fusion_min, interpret,
+                                   precision)
+    return cross.astype(dt)

@@ -311,3 +311,102 @@ def test_ambiguity_head_fused_matches(rng):
         close = np.isclose(np.asarray(a), np.asarray(b_),
                            rtol=1e-5, atol=1e-5)
         assert close.mean() >= 0.995
+
+
+# ---------------------------------------------------------------------------
+# fused DualMasks cross-feature kernel
+# ---------------------------------------------------------------------------
+
+def _cross_oracle(p, f, a, k, fusion):
+    """Literal kNN oracle with the kernel's documented tie semantics: MIN
+    averages all members whose ambiguity equals the member-minimum;
+    MIN_ALL0 averages members with a<=0 over K slots (MaskedRefine.py:102)."""
+    from amcontrast3d_tpu.ops import knn
+    idx, _ = knn(p, p, k)
+    idx = idx[..., 1:]
+    nid = np.asarray(idx)
+    pa = np.asarray(a)
+    pf = np.asarray(f)
+    B, N, K = nid.shape
+    out = np.zeros((B, N, pf.shape[-1]), np.float32)
+    for b in range(B):
+        for i in range(N):
+            mem = nid[b, i]
+            am = pa[b, mem]
+            if fusion == "MIN":
+                m = am.min()
+                sel = mem[am == m]
+                out[b, i] = pf[b, sel].mean(0)
+            else:
+                sel = mem[am <= 0]
+                out[b, i] = (pf[b, sel].sum(0) / K if len(sel) else 0.0)
+    return out
+
+
+@pytest.mark.parametrize("fusion", ["MIN", "MIN_ALL0"])
+def test_dual_masks_cross_matches_oracle(rng, fusion):
+    from amcontrast3d_tpu.ops.contrast_pallas import dual_masks_cross
+    B, N, Cdim, k = 2, 300, 16, 8
+    p = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    f = jnp.asarray(rng.randn(B, N, Cdim).astype(np.float32))
+    # ambiguity with exact ties at 0 (the common real case: interior points)
+    a = jnp.asarray(np.where(rng.rand(B, N) < 0.4, 0.0,
+                             rng.rand(B, N)).astype(np.float32))
+    cross = dual_masks_cross(p, f, a, k, fusion, interpret=True)
+    want = _cross_oracle(p, f, a, k, fusion)
+    np.testing.assert_allclose(np.asarray(cross), want, rtol=1e-5, atol=1e-5)
+
+
+def test_dual_masks_cross_multichunk_and_grad(rng):
+    """Multi-chunk shape exercises the kd sort + bbox pruning; the VJP must
+    equal the autodiff of the oracle mean (w^T g / c)."""
+    from amcontrast3d_tpu.ops.contrast_pallas import dual_masks_cross
+    B, N, Cdim, k = 1, 2600, 8, 6
+    p = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 4)
+    f = jnp.asarray(rng.randn(B, N, Cdim).astype(np.float32))
+    a = jnp.asarray(np.where(rng.rand(B, N) < 0.3, 0.0,
+                             rng.rand(B, N)).astype(np.float32))
+    cross = dual_masks_cross(p, f, a, k, "MIN", interpret=True)
+    want = _cross_oracle(p, f, a, k, "MIN")
+    np.testing.assert_allclose(np.asarray(cross), want, rtol=1e-4, atol=1e-4)
+
+    g = jnp.asarray(rng.randn(B, N, Cdim).astype(np.float32))
+
+    def loss_fused(f_):
+        return jnp.sum(dual_masks_cross(p, f_, a, k, "MIN",
+                                        interpret=True) * g)
+
+    df = jax.grad(loss_fused)(f)
+
+    # oracle gradient: scatter g/c onto each selected member
+    from amcontrast3d_tpu.ops import knn
+    idx = np.asarray(knn(p, p, k)[0][..., 1:])
+    pa, dg = np.asarray(a), np.asarray(g)
+    want_df = np.zeros_like(np.asarray(f))
+    for i in range(N):
+        mem = idx[0, i]
+        am = pa[0, mem]
+        sel = mem[am == am.min()]
+        for j in sel:
+            want_df[0, j] += dg[0, i] / len(sel)
+    np.testing.assert_allclose(np.asarray(df), want_df, rtol=1e-4, atol=1e-4)
+
+
+def test_dual_masks_fused_path_in_module(rng, monkeypatch):
+    """dual_masks dispatches to the fused kernel when the gate is forced on
+    (CPU -> interpret) and agrees with the XLA path on tie-free ambiguity."""
+    from amcontrast3d_tpu.loss import contrast as CC
+    from amcontrast3d_tpu.models.refine import dual_masks
+    B, N, Cdim = 1, 300, 8
+    p = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
+    f = jnp.asarray(rng.randn(B, N, Cdim).astype(np.float32))
+    a = jnp.asarray(rng.rand(B, N).astype(np.float32))  # unique -> no ties
+    ref_f, ref_rate = dual_masks(p, f, a, 8, "MIN", 0.3, 1.0, 0.5)
+    CC.set_fused_contrast("on")
+    try:
+        fus_f, fus_rate = dual_masks(p, f, a, 8, "MIN", 0.3, 1.0, 0.5)
+    finally:
+        CC.set_fused_contrast("auto")
+    assert float(ref_rate) == float(fus_rate)
+    np.testing.assert_allclose(np.asarray(fus_f), np.asarray(ref_f),
+                               rtol=1e-5, atol=1e-5)

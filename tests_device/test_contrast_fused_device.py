@@ -150,3 +150,35 @@ def test_label_vote_compiled(rng):
     match = (got == want).mean()
     # near-ties at the 4th distance may flip a vote on a handful of points
     assert match >= 0.999, f"vote mismatch rate {1 - match:.5f}"
+
+
+def test_dual_masks_cross_compiled(rng):
+    """Compiled fused DualMasks CrossMask vs the exact-kNN XLA path at a
+    flagship-like stage shape (tie-free ambiguity -> paths must agree on
+    all but threshold-superset points)."""
+    from amcontrast3d_tpu.models.refine import dual_masks
+    from amcontrast3d_tpu.loss import contrast as CC
+
+    B, N, Cdim = 2, 24000, 64
+    p = jnp.asarray(rng.rand(B, N, 3).astype(np.float32) * 4)
+    f = jnp.asarray(rng.randn(B, N, Cdim).astype(np.float32))
+    a = jnp.asarray(rng.rand(B, N).astype(np.float32))
+
+    set_knn_backend("exact")
+    CC.set_fused_contrast("off")
+    try:
+        want_f, want_rate = jax.jit(
+            lambda: dual_masks(p, f, a, 12, "MIN", 0.7, 1.0, 0.5))()
+        want_f = np.asarray(want_f)
+    finally:
+        set_knn_backend("auto")
+        CC.set_fused_contrast("auto")
+
+    got_f, got_rate = jax.jit(
+        lambda: dual_masks(p, f, a, 12, "MIN", 0.7, 1.0, 0.5))()
+    got_f = np.asarray(got_f)
+    assert abs(float(got_rate) - float(want_rate)) < 1e-4
+    # row-level agreement: a point differs only if its threshold set was a
+    # superset AND the extra member had the smaller ambiguity
+    row_close = np.isclose(got_f, want_f, rtol=1e-4, atol=1e-4).all(-1)
+    assert row_close.mean() >= 0.995, f"{1 - row_close.mean():.5f} rows differ"

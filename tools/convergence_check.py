@@ -86,6 +86,11 @@ def main():
                          "unfused XLA contrast path and report the best-val "
                          "mIoU delta vs the default approx/fused TPU path "
                          "(quantifies docs/DEVIATIONS.md §2-3)")
+    ap.add_argument("--amp", action="store_true",
+                    help="also train AA with use_amp=True (bf16 model dtype, "
+                         "the reference's AMP axis, main_AA.py:389-390) and "
+                         "report the best-val delta vs the fp32 default — "
+                         "the accuracy envelope for the bf16 perf lever")
     args = ap.parse_args()
 
     summary = {}
@@ -158,6 +163,27 @@ def main():
             print(f"[ab] exact/unfused best_val={exact_best:.2f} vs "
                   f"default {default_best:.2f} (delta "
                   f"{default_best - exact_best:+.2f})")
+
+        if args.amp:
+            cfg = os.path.join(REPO, "cfgs", "synthetic", "AMContrast3D-AA.yaml")
+            root = os.path.join(tmp, "aa_amp")
+            res = run_phase("aa", ["--cfg", cfg, f"epochs={args.epochs}",
+                                   f"seed={args.seed}", f"root_dir={root}",
+                                   "val_freq=1", "use_amp=True",
+                                   "dataset.train.loop=8",
+                                   "datatransforms.kwargs.color_drop=0.0",
+                                   *args.override], "aa_amp_train", tmp)
+            amp_best = float(res.get("best_val", 0.0))
+            amp_oa = float(res.get("val_oa", 0.0))
+            default_best = float(summary.get("aa_train", {}).get("best_val", 0.0))
+            amp_ok = amp_best >= args.bar and amp_oa >= args.oa_bar
+            summary["amp_bf16_vs_fp32"] = {
+                "amp_best_val": amp_best, "amp_val_oa": amp_oa,
+                "fp32_best_val": default_best,
+                "delta": round(amp_best - default_best, 3), "pass": amp_ok}
+            print(f"[amp] bf16 best_val={amp_best:.2f} val_oa={amp_oa:.2f} vs "
+                  f"fp32 {default_best:.2f} -> {'PASS' if amp_ok else 'FAIL'}")
+            failed |= not amp_ok
 
     summary["pass"] = not failed
     print(json.dumps(summary))
