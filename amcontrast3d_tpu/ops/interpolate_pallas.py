@@ -149,6 +149,107 @@ def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
                                          jnp.float32))
 
 
+# whole-support VMEM residency cap for the single-call kernel; above it the
+# two-call big path runs (3rd-NN threshold via the grid-chunked kNN kernel,
+# then chunked accumulation) — whole-room eval rungs reach 1.2M points
+_SUP_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _buf_vmem_bytes(n_pad: int, C: int) -> int:
+    lanes = -(-(C + 4) // 128) * 128  # fp32 VMEM lane padding
+    return n_pad * lanes * 4
+
+
+def _interp_acc_big_kernel(qT_ref, buf_ref, out_ref, aux_ref, acc_ref,
+                           accw_ref, *, C: int, n_chunks: int, precision):
+    """Large-N accumulation: support chunks ride the minor grid dim; the
+    (tq, C+1) accumulator lives in scratch across the chunk sweep (same
+    persistence pattern as knn_pallas._knn_kernel_big)."""
+    c = pl.program_id(2)
+    qx = qT_ref[0, 0:1, :]
+    qy = qT_ref[0, 1:2, :]
+    qz = qT_ref[0, 2:3, :]
+    thr = qT_ref[0, 3:4, :]
+    ch = buf_ref[0]                                   # (cs, C+4)
+    sx = ch[:, C + 1:C + 2]
+    sy = ch[:, C + 2:C + 3]
+    sz = ch[:, C + 3:C + 4]
+    d2 = (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
+    w = jnp.where(d2 <= thr, 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) + 1e-8),
+                  0.0)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        accw_ref[:] = jnp.zeros_like(accw_ref)
+
+    acc_ref[:] = acc_ref[:] + lax.dot_general(
+        w, ch[:, 0:C + 1], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    accw_ref[:] = accw_ref[:] + jnp.sum(w, axis=0, keepdims=True)
+
+    @pl.when(c == n_chunks - 1)
+    def _final():
+        acc = acc_ref[:]
+        out_ref[0] = acc[:, 0:C] / jnp.maximum(acc[:, C:C + 1], 1e-20)
+        aux_ref[0, 0:1, :] = thr
+        aux_ref[0, 1:2, :] = jnp.maximum(accw_ref[:], 1e-20)
+
+
+def _interp_fwd_big(p1, p2, f2, interpret):
+    """Two-call path for supports beyond VMEM residency: 3rd-NN d² from the
+    grid-chunked kNN kernel (exact-or-superset, as the grouped tournament),
+    then the chunked weighted accumulation."""
+    from .knn_pallas import knn_pallas
+
+    B, N1, _ = p1.shape
+    _, N2, C = f2.shape
+    n_pad = -(-N2 // CS) * CS
+    n_chunks = n_pad // CS
+    tq = min(TQ, -(-N1 // 8) * 8)
+    m_pad = -(-N1 // tq) * tq
+
+    thr = knn_pallas(p2, p1, 3, interpret=interpret)[1][..., 2] * (1.0 + 1e-6)
+
+    ones = jnp.ones((B, N2, 1), jnp.float32)
+    buf = jnp.concatenate([f2, ones, p2], axis=-1)
+    buf = _pad_to(buf, n_pad, 1, value=0.0)
+    if n_pad > N2:
+        buf = buf.at[:, N2:, C + 1:C + 4].set(1e4)
+    qaux = jnp.concatenate([p1, thr[..., None]], axis=-1)
+    qaux = _pad_to(qaux, m_pad, 1, value=0.0)
+    if m_pad > N1:
+        qaux = qaux.at[:, N1:, 3].set(-1.0)   # padded queries: no members
+    qT = jnp.transpose(qaux, (0, 2, 1))
+
+    out, aux = pl.pallas_call(
+        functools.partial(_interp_acc_big_kernel, C=C, n_chunks=n_chunks,
+                          precision=_PREC),
+        grid=(B, m_pad // tq, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 4, tq), lambda b, t, c: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CS, C + 4), lambda b, t, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, C), lambda b, t, c: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tq), lambda b, t, c: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, m_pad, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2, m_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tq, C + 1), jnp.float32),
+                        pltpu.VMEM((1, tq), jnp.float32)],
+        compiler_params=_params(),
+        interpret=interpret,
+    )(qT, buf)
+    return out[:, :N1], aux[:, 0, :N1], aux[:, 1, :N1]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def three_interpolation_fused(p1, p2, f2, interpret: bool = False):
     """p1 (B,N1,3) fine, p2 (B,N2,3) coarse, f2 (B,N2,C) → (B,N1,C)."""
@@ -161,6 +262,8 @@ def _interp_fwd_impl(p1, p2, f2, interpret):
     _, N2, C = f2.shape
     prec = _PREC
     n_pad, cs = _shapes_sup(N2)
+    if _buf_vmem_bytes(n_pad, C) > _SUP_VMEM_BUDGET:
+        return _interp_fwd_big(p1, p2, f2, interpret)
     tq = min(TQ, -(-N1 // 8) * 8)
     m_pad = -(-N1 // tq) * tq
     g = _sel_group(n_pad)

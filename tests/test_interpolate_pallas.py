@@ -65,3 +65,21 @@ def test_fused_interp_grad(rng):
     gr = jax.grad(loss_ref)(f2)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_interp_big_path_matches(rng, monkeypatch):
+    """The grid-chunked large-support path (whole-room eval rungs) must
+    match the resident-support kernel on the same inputs."""
+    import amcontrast3d_tpu.ops.interpolate_pallas as IP
+    p1 = jnp.asarray(rng.rand(1, 1200, 3).astype(np.float32) * 3)
+    p2 = jnp.asarray(rng.rand(1, 4100, 3).astype(np.float32) * 3)
+    f2 = jnp.asarray(rng.randn(1, 4100, 12).astype(np.float32))
+    small = IP.three_interpolation_fused(p1, p2, f2, True)
+    monkeypatch.setattr(IP, "_SUP_VMEM_BUDGET", 1)  # force the big path
+    big = IP.three_interpolation_fused(p1, p2, f2, True)
+    close = np.isclose(np.asarray(big), np.asarray(small),
+                       rtol=1e-4, atol=1e-4).all(-1)
+    # thresholds come from different selection kernels: a best-2-per-bin
+    # overflow in the big kNN admits an extra (tied-weight) neighbor on a
+    # handful of points
+    assert close.mean() >= 0.995, f"{1 - close.mean():.4f} rows differ"
