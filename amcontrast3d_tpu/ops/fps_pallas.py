@@ -15,6 +15,16 @@ iteration on the VPU:
   * indices are written row-wise into a (npoint, B) output (dynamic stores
     on the sublane dim are cheap).
 
+B == 1 (the whole-room eval path) uses a separate large-N variant: each
+(N,) plane is reshaped to (8, N/8) — a (1, N) VMEM buffer sublane-pads 1→8
+and wastes 8× the footprint — and output rows are chunked over a sequential
+grid with mind/last persisted in scratch, so the (npoint, 128-lane-padded)
+output block stays small.  Together these keep the kernel inside scoped
+VMEM up to the 1.2M-point ladder rungs.  The batched (B > 1) kernel is the
+round-2-proven single-block form, untouched: training shapes (npoint ≤
+N/stride ≤ 6000) never approach the limit, and the gridded wrapper showed
+runtime faults at batched eval shapes on the remote-TPU platform.
+
 Semantics identical to ``ops.fps.furthest_point_sample``: first index 0,
 exact max-min sampling.
 """
@@ -29,6 +39,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _INF = 1e10
+
+# output rows per grid step in the B==1 large-npoint kernel
+_TO = 4096
 
 
 def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, npoint: int):
@@ -57,6 +70,71 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, npoint: int):
     lax.fori_loop(1, npoint, body, jnp.zeros((B, 1), dtype=jnp.int32))
 
 
+def _fps_kernel_r8(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, *,
+                   to: int, n_real: int):
+    """B==1 variant on (8, N/8)-reshaped planes with grid-chunked output
+    rows; ``col`` carries the global (row-major) index so lowest-index
+    tie-breaking is unchanged."""
+    R, N8 = x_ref.shape
+    i = pl.program_id(0)
+    col = (lax.broadcasted_iota(jnp.int32, (R, N8), 0) * N8
+           + lax.broadcasted_iota(jnp.int32, (R, N8), 1))
+
+    @pl.when(i == 0)
+    def _init():
+        # padded tail entries get mind=-1: never the max, never updated
+        mind_ref[:] = jnp.where(col < n_real, _INF, -1.0).astype(jnp.float32)
+        last_ref[:] = jnp.zeros((1, 1), dtype=jnp.int32)
+        out_ref[0, :] = jnp.zeros((1,), dtype=jnp.int32)
+
+    x, y, z = x_ref[:], y_ref[:], z_ref[:]
+
+    def body(r, last):
+        onehot = (col == last).astype(jnp.float32)
+        px = jnp.sum(x * onehot)
+        py = jnp.sum(y * onehot)
+        pz = jnp.sum(z * onehot)
+        d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+        mind = jnp.minimum(mind_ref[:], jnp.where(mind_ref[:] < 0.0, -1.0, d))
+        mind_ref[:] = mind
+        m = jnp.max(mind)
+        cand = jnp.where(mind == m, col, n_real)
+        nxt = jnp.min(cand).astype(jnp.int32)
+        out_ref[pl.ds(r, 1), :] = nxt.reshape(1, 1)
+        return nxt
+
+    start = jnp.where(i == 0, 1, 0)
+    last = lax.fori_loop(start, to, body, last_ref[0, 0], unroll=False)
+    last_ref[:] = last.reshape(1, 1)
+
+
+def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
+    n_pad = -(-N // 8) * 8
+    if n_pad > N:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - N)))
+        y = jnp.pad(y, ((0, 0), (0, n_pad - N)))
+        z = jnp.pad(z, ((0, 0), (0, n_pad - N)))
+    n8 = n_pad // 8
+    x, y, z = (a.reshape(8, n8) for a in (x, y, z))
+    to = npoint if npoint <= 4 * _TO else _TO
+    n_steps = -(-npoint // to)
+    out = pl.pallas_call(
+        functools.partial(_fps_kernel_r8, to=to, n_real=N),
+        grid=(n_steps,),
+        out_shape=jax.ShapeDtypeStruct((n_steps * to, 1), jnp.int32),
+        in_specs=[pl.BlockSpec((8, n8), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((to, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, n8), jnp.float32),
+                        pltpu.VMEM((1, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, y, z)
+    return out[:npoint].T
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                                  interpret: bool = False) -> jnp.ndarray:
@@ -64,6 +142,8 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
     B, N, _ = xyz.shape
     planes = xyz.transpose(2, 0, 1)  # (3, B, N)
     x, y, z = planes[0], planes[1], planes[2]
+    if B == 1:
+        return _fps_b1(x, y, z, N, npoint, interpret)
     kernel = functools.partial(_fps_kernel, npoint=npoint)
     out = pl.pallas_call(
         kernel,

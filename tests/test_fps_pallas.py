@@ -20,3 +20,27 @@ def test_pallas_fps_single_batch(rng):
     a = np.asarray(furthest_point_sample(xyz, 32))
     b = np.asarray(furthest_point_sample_pallas(xyz, 32, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fps_chunked_output_path(rng, monkeypatch):
+    """B==1 large-npoint runs chunk output rows over a sequential grid (the
+    whole-room rungs OOM'd VMEM on the single-block output); forcing a
+    tiny chunk size must not change the sampled indices."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(FP, "_TO", 8)
+    xyz = jnp.asarray(rng.rand(1, 256, 3).astype(np.float32) * 2)
+    a = np.asarray(furthest_point_sample(xyz, 50))  # 50 > 4*8 and 50 % 8 != 0
+    b = np.asarray(FP.furthest_point_sample_pallas(xyz, 50, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fps_b1_reshaped_padded(rng, monkeypatch):
+    """B==1 runs the (8, N/8)-reshaped layout (exact VMEM footprint for
+    whole-room rungs); ragged N exercises the pad tail, tiny _TO the
+    output chunking on top."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(FP, "_TO", 8)
+    xyz = jnp.asarray(rng.rand(1, 203, 3).astype(np.float32) * 2)
+    a = np.asarray(furthest_point_sample(xyz, 60))
+    b = np.asarray(FP.furthest_point_sample_pallas(xyz, 60, interpret=True))
+    np.testing.assert_array_equal(a, b)
