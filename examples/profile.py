@@ -63,6 +63,32 @@ def profile_model(cfg, batch_size=4, num_points=24000, n_runs=20):
             "ins_per_sec": throughput}
 
 
+def profile_grouper(batch_size=4, num_points=24000, radius=0.1, nsample=32,
+                    n_runs=200):
+    """Grouper micro-benchmark (↔ reference ``examples/profile.py:108-126``):
+    self ball-query throughput at the given shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from amcontrast3d_tpu.ops import ball_query
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(batch_size, num_points, 3).astype(np.float32)
+                      * 10)
+    fn = jax.jit(lambda p: ball_query(p, p, radius, nsample))
+    out = fn(pts)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        out = fn(pts)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_runs
+    print(f"grouper (ball_query r={radius} k={nsample} "
+          f"{batch_size}x{num_points}): {batch_size / dt:.2f} ins/s "
+          f"({dt * 1e3:.2f} ms/call)")
+    return {"grouper_ins_per_sec": batch_size / dt}
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -70,11 +96,21 @@ if __name__ == "__main__":
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, required=True)
+    parser.add_argument("--grouper", action="store_true",
+                        help="run the ball-query grouper micro-benchmark "
+                             "instead of the model profile")
     args, opts = parser.parse_known_args()
     cfg = EasyConfig()
     cfg.load(args.cfg, recursive=True)
     cfg.update(opts)
-    profile_model(cfg,
-                  batch_size=int(cfg.get("profile_batch_size", 4)),
-                  num_points=int(cfg.get("profile_num_points", 24000)),
-                  n_runs=int(cfg.get("profile_n_runs", 20)))
+    if args.grouper:
+        profile_grouper(batch_size=int(cfg.get("profile_batch_size", 4)),
+                        num_points=int(cfg.get("profile_num_points", 24000)),
+                        radius=float(cfg.get("radius", 0.1)),
+                        nsample=int(cfg.get("nsample", 32)),
+                        n_runs=int(cfg.get("profile_n_runs", 200)))
+    else:
+        profile_model(cfg,
+                      batch_size=int(cfg.get("profile_batch_size", 4)),
+                      num_points=int(cfg.get("profile_num_points", 24000)),
+                      n_runs=int(cfg.get("profile_n_runs", 20)))

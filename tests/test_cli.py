@@ -106,3 +106,11 @@ def test_cli_test_mode(tiny_cfg, tmp_path):
     assert rows[0][:5] == ["method", "Area", "OA", "mACC", "mIoU"]
     assert len(rows) == 2 and len(rows[1]) == len(rows[0])
     assert abs(float(rows[1][4]) - results["miou"]) < 0.01
+
+
+def test_profile_grouper_microbench():
+    """The grouper micro-benchmark (↔ reference examples/profile.py:108-126)
+    runs and reports a throughput number."""
+    import examples.profile as prof
+    out = prof.profile_grouper(batch_size=1, num_points=512, n_runs=2)
+    assert out["grouper_ins_per_sec"] > 0
