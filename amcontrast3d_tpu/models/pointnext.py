@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import (clamp_members_valid, create_grouper, furthest_point_sample, gather_points,
-                   get_aggregation_features, random_sample,
+                   get_aggregation_features, group_points, random_sample,
                    three_interpolation)
 from .layers import ConvBlock, MLPBlocks, create_act
 
@@ -44,6 +44,43 @@ def to_full_list(param, blocks: Sequence[int], strides: Sequence[int],
                 param_list.append([param] + [param * param_scaling] * (blocks[i] - 1))
                 param *= param_scaling
     return param_list
+
+
+# eval-time cap on the materialized (B, M, K, C) grouped tensor: above it
+# the separable tail runs in query chunks (inference BN is a pure affine, so
+# chunking is exact).  Whole-room rungs past ~800k points otherwise gather
+# multi-GB neighborhoods and exhaust HBM.
+_EVAL_GATHER_BUDGET = 256 * 1024 * 1024
+
+
+def _grouped_tail(idx, hf, sup, q, dp_dense, bn_fn, act, dp_scale, pool,
+                  chunkable: bool):
+    """gather(hf) + dp-projection + norm + act + pool over K — the memory
+    peak of the separable aggregation.  ``chunkable`` (inference, unmasked)
+    streams query chunks so the (B, M, K, C) tensor never materializes
+    whole."""
+    B, M, K = idx.shape
+    C = hf.shape[-1]
+    nbytes = B * M * K * C * 4
+
+    def tail(idx_c, q_c):
+        hj = group_points(hf, idx_c)
+        dp = group_points(sup, idx_c) - q_c[:, :, None, :]
+        if dp_scale is not None:
+            dp = dp / dp_scale
+        h = hj + dp_dense(dp)
+        h = bn_fn(h)
+        if act is not None:
+            h = act(h)
+        return pool(h)
+
+    if not chunkable or nbytes <= _EVAL_GATHER_BUDGET:
+        return tail(idx, q)
+    n_chunks = -(-nbytes // _EVAL_GATHER_BUDGET)
+    mc = -(-M // n_chunks)
+    outs = [tail(idx[:, s:s + mc], q[:, s:s + mc])
+            for s in range(0, M, mc)]
+    return jnp.concatenate(outs, axis=1)
 
 
 def _pool(reduction: str):
@@ -126,23 +163,20 @@ class LocalAggregation(nn.Module):
         # W_f·f once per point, then gather the projected features
         hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                       name="w_f")(f)
-        hj = group_points(hf, idx)                       # (B, M, K, C_out)
-        dp = group_points(p, idx) - p[:, :, None, :]
-        if grouper.normalize_dp and grouper.method == "ballquery":
-            dp = dp / grouper.radius
-        hd = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
-                      name="w_dp")(dp)
-        h = hj + hd
-        norm = _norm_name_local(self.norm_args)
-        if norm is not None:
-            h = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                             epsilon=1e-5, axis_name=self.bn_axis_name,
-                             dtype=jnp.float32)(h, mask=bn_mask)
-        if self.last_act:
-            act = create_act(self.act_args)
-            if act is not None:
-                h = act(h)
-        return _pool(self.reduction)(h)
+        dp_dense = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
+                            name="w_dp")
+        bn = (nn.BatchNorm(use_running_average=not training, momentum=0.9,
+                           epsilon=1e-5, axis_name=self.bn_axis_name,
+                           dtype=jnp.float32)
+              if _norm_name_local(self.norm_args) is not None else None)
+        act = create_act(self.act_args) if self.last_act else None
+        dp_scale = (grouper.radius if grouper.normalize_dp
+                    and grouper.method == "ballquery" else None)
+        return _grouped_tail(
+            idx, hf, p, p, dp_dense,
+            (lambda t: bn(t, mask=bn_mask)) if bn is not None else (lambda t: t),
+            act, dp_scale, _pool(self.reduction),
+            chunkable=not training and bn_mask is None)
 
 
 def _norm_name_local(norm_args):
@@ -247,20 +281,19 @@ class SetAbstraction(nn.Module):
             gidx = clamp_members_valid(gidx, n_valid)
             hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                           name="w_f")(f)
-            hj = group_points(hf, gidx)
-            dp = group_points(sup, gidx) - new_p[:, :, None, :]
-            if grouper.normalize_dp and grouper.method == "ballquery":
-                dp = dp / grouper.radius
-            hd = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
-                          name="w_dp")(dp)
-            fj = hj + hd
-            fj = nn.BatchNorm(use_running_average=not training, momentum=0.9,
+            dp_dense = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
+                                name="w_dp")
+            bn = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                               epsilon=1e-5, axis_name=self.bn_axis_name,
-                              dtype=jnp.float32)(fj, mask=bn_mask)
-            if not use_res:
-                act = create_act(self.act_args)
-                if act is not None:
-                    fj = act(fj)
+                              dtype=jnp.float32)
+            act = None if use_res else create_act(self.act_args)
+            dp_scale = (grouper.radius if grouper.normalize_dp
+                        and grouper.method == "ballquery" else None)
+            f = _grouped_tail(
+                gidx, hf, sup, new_p, dp_dense,
+                lambda t: bn(t, mask=bn_mask), act, dp_scale,
+                lambda t: jnp.max(t, axis=-2),
+                chunkable=not training and bn_mask is None)
         else:
             dp, fj = grouper(new_p, sup, f, n_valid=n_valid)
             fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
@@ -272,7 +305,7 @@ class SetAbstraction(nn.Module):
                                order=order, bn_axis_name=self.bn_axis_name,
                                dtype=self.dtype)(fj, training=training,
                                                  mask=bn_mask)
-        f = jnp.max(fj, axis=-2)
+            f = jnp.max(fj, axis=-2)
         if use_res:
             act = create_act(self.act_args)
             f = act(f + identity)

@@ -146,3 +146,25 @@ def test_apm_p_graph_closed_form(rng):
             nodes = [x0 + b] + [x + b for x in xs]
             want = np.mean(nodes, axis=0)
             np.testing.assert_allclose(out[bi, i], want, rtol=1e-5, atol=1e-6)
+
+
+def test_eval_chunked_grouped_tail_exact(rng):
+    """At inference the separable aggregation streams query chunks when the
+    grouped tensor exceeds the budget (whole-room HBM guard); inference BN
+    is a pure affine, so logits must be bitwise-stable vs the unchunked
+    path up to float assoc (same math, same order within a chunk)."""
+    import amcontrast3d_tpu.models.pointnext as PN
+    model = BaseSeg_AMContrast3D(encoder_args=ENCODER_ARGS, decoder_args={},
+                                 cls_args=CLS_ARGS)
+    pos, feats = _data(rng)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pos, feats,
+                           training=False)
+    ref = model.apply(variables, pos, feats, training=False)[0]
+    orig = PN._EVAL_GATHER_BUDGET
+    try:
+        PN._EVAL_GATHER_BUDGET = 4096  # force chunking at tiny shapes
+        got = model.apply(variables, pos, feats, training=False)[0]
+    finally:
+        PN._EVAL_GATHER_BUDGET = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
