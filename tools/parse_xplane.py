@@ -3,12 +3,11 @@
 Usage: python tools/parse_xplane.py /tmp/trace_r3 [top_n]
 
 Uses xprof's raw_to_tool_data conversion (the tensorboard profile plugin
-backend) to produce the hlo_op_stats table and prints the top rows —
-enough to see where a train step's wall-clock goes without a browser.
+backend) to produce the hlo_stats table (gviz JSON) and prints the top rows
+— enough to see where a train step's wall-clock goes without a browser.
 """
-import csv
-import io
 import glob
+import json
 import sys
 
 
@@ -18,40 +17,41 @@ def main(logdir: str, top_n: int = 40):
         raise SystemExit(f"no .xplane.pb under {logdir}")
     from xprof.convert import raw_to_tool_data as rtd
 
-    params = {"tqx": "out:csv;"}
-    for tool in ("hlo_op_stats", "op_stats", "hlo_stats"):
-        try:
-            data, _ = rtd.xspace_to_tool_data(xplanes, tool, params)
+    tbl = None
+    for tool in ("hlo_stats", "framework_op_stats"):
+        data, _ = rtd.xspace_to_tool_data(xplanes, tool, {})
+        if isinstance(data, bytes):
+            data = data.decode("utf-8", "replace")
+        cand = json.loads(data)
+        if isinstance(cand, list):  # framework_op_stats returns [table, ...]
+            cand = cand[0]
+        if cand.get("rows"):
+            tbl = cand
+            print(f"[{tool}]")
             break
-        except Exception as e:  # noqa: PERF203
-            err = e
-    else:
-        raise SystemExit(f"no tool worked: {err}")
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    rows = list(csv.reader(io.StringIO(data)))
-    head = rows[0]
-    # find the self-time and name-ish columns
-    def col(*names):
-        for n in names:
-            for i, h in enumerate(head):
-                if n.lower() in h.lower():
-                    return i
-        return None
-    c_time = col("total self time (us)", "self time (us)", "self-time")
-    c_name = col("hlo op expression", "op name", "hlo op name", "name")
-    c_cat = col("category")
-    c_pct = col("total self time (%)", "self time (%)")
-    print(f"columns: {head}")
-    body = rows[1:]
-    if c_time is not None:
-        body.sort(key=lambda r: -float(r[c_time] or 0))
-    for r in body[:top_n]:
-        t = r[c_time] if c_time is not None else "?"
-        pct = r[c_pct] if c_pct is not None else "?"
-        cat = r[c_cat] if c_cat is not None else "?"
-        nm = (r[c_name] if c_name is not None else str(r))[:140]
-        print(f"{float(t):>12.0f} us  {pct:>6}%  {cat:<24} {nm}")
+        tbl = tbl or cand
+    ids = [c["id"] for c in tbl["cols"]]
+
+    def cell(row, cid):
+        try:
+            v = row["c"][ids.index(cid)]
+            return v.get("v") if isinstance(v, dict) else v
+        except (ValueError, IndexError, AttributeError, TypeError):
+            return None
+
+    rows = tbl.get("rows", [])
+    rows.sort(key=lambda r: -(cell(r, "total_self_time") or 0))
+    tot = sum((cell(r, "total_self_time") or 0) for r in rows)
+    print(f"total self time: {tot/1e3:.1f} ms over {len(rows)} ops")
+    print(f"{'self us':>10} {'%':>6} {'occ':>5}  {'category':<22} name")
+    for r in rows[:top_n]:
+        t = cell(r, "total_self_time") or 0
+        pct = cell(r, "total_self_time_percent") or 0
+        occ = cell(r, "occurrences") or 0
+        cat = (cell(r, "category") or "?")[:22]
+        name = (cell(r, "hlo_op_name") or "?")
+        expr = (cell(r, "hlo_op_expression") or "")[:110]
+        print(f"{t:>10.0f} {pct:>6.2f} {occ:>5}  {cat:<22} {name}  {expr}")
 
 
 if __name__ == "__main__":
