@@ -29,7 +29,14 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """
     if jax.default_backend() == "tpu":
         B, N, _ = xyz.shape
-        if 4 * B * N * 4 <= 12 * 1024 * 1024:  # xyz planes + dist buffer in VMEM
+        # B==1 (whole-room eval): the (R, N/R)-reshaped multi-call kernel
+        # keeps exactly 4 N-sized fp32 buffers in VMEM — fine up to ~5M
+        # points.  Batched: planes + dist buffer must fit the single-block
+        # kernel.  The lax fallback at whole-room N is not viable on the
+        # remote platform (221k+ fori_loop steps each re-reading xyz from
+        # HBM get killed long before finishing).
+        if (B == 1 and 16 * N <= 80 * 1024 * 1024) or \
+                (B > 1 and 4 * B * N * 4 <= 12 * 1024 * 1024):
             from .fps_pallas import furthest_point_sample_pallas
             return furthest_point_sample_pallas(xyz, npoint)
     return _furthest_point_sample_lax(xyz, npoint)

@@ -70,21 +70,24 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, npoint: int):
     lax.fori_loop(1, npoint, body, jnp.zeros((B, 1), dtype=jnp.int32))
 
 
-def _fps_kernel_r8(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, *,
-                   to: int, n_real: int):
-    """B==1 variant on (8, N/8)-reshaped planes with grid-chunked output
+def _fps_kernel_r8(x_ref, y_ref, z_ref, mind_in_ref, last_in_ref, first_ref,
+                   out_ref, mind_ref, last_ref, *,
+                   to: int, n_real: int, n_steps: int):
+    """B==1 variant on (R, N/R)-reshaped planes with grid-chunked output
     rows; ``col`` carries the global (row-major) index so lowest-index
-    tie-breaking is unchanged."""
+    tie-breaking is unchanged.  (mind, last) stream in/out as ALIASED
+    arrays (input_output_aliases) so state persists across the host-side
+    call splits without doubling the VMEM footprint — whole-room rungs
+    past ~850k points fault the chip on larger footprints.  The aliased
+    out refs hold the input values on entry; the _in refs are never read."""
     R, N8 = x_ref.shape
     i = pl.program_id(0)
     col = (lax.broadcasted_iota(jnp.int32, (R, N8), 0) * N8
            + lax.broadcasted_iota(jnp.int32, (R, N8), 1))
 
-    @pl.when(i == 0)
-    def _init():
-        # padded tail entries get mind=-1: never the max, never updated
-        mind_ref[:] = jnp.where(col < n_real, _INF, -1.0).astype(jnp.float32)
-        last_ref[:] = jnp.zeros((1, 1), dtype=jnp.int32)
+    @pl.when(jnp.logical_and(i == 0, first_ref[0, 0] == 1))
+    def _first():
+        # the very first call: first output row is index 0
         out_ref[0, :] = jnp.zeros((1,), dtype=jnp.int32)
 
     x, y, z = x_ref[:], y_ref[:], z_ref[:]
@@ -103,36 +106,78 @@ def _fps_kernel_r8(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, *,
         out_ref[pl.ds(r, 1), :] = nxt.reshape(1, 1)
         return nxt
 
-    start = jnp.where(i == 0, 1, 0)
+    start = jnp.where(jnp.logical_and(i == 0, first_ref[0, 0] == 1), 1, 0)
     last = lax.fori_loop(start, to, body, last_ref[0, 0], unroll=False)
     last_ref[:] = last.reshape(1, 1)
 
 
+# per-call iteration budget: keep each Mosaic call to ~1-2 s on v5e
+# (measured ~4e11 VPU elem-ops/s on this kernel)
+_B1_OPS_BUDGET = 1.2e10
+
+
+# max lane width of the reshaped planes: (R, n8) buffers with n8 past
+# ~98k lanes hard-fault the chip at runtime (884k rung: n8=110592 faulted,
+# 93184 ran); stay at ≤64k lanes and grow the sublane dim instead
+_B1_MAX_LANES = 65536
+
+
 def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
-    n_pad = -(-N // 8) * 8
+    rows = 8
+    while -(-N // rows) > _B1_MAX_LANES:
+        rows += 8
+    n8 = -(-N // rows)
+    n_pad = rows * n8
     if n_pad > N:
         x = jnp.pad(x, ((0, 0), (0, n_pad - N)))
         y = jnp.pad(y, ((0, 0), (0, n_pad - N)))
         z = jnp.pad(z, ((0, 0), (0, n_pad - N)))
-    n8 = n_pad // 8
-    x, y, z = (a.reshape(8, n8) for a in (x, y, z))
-    to = npoint if npoint <= 4 * _TO else _TO
-    n_steps = -(-npoint // to)
-    out = pl.pallas_call(
-        functools.partial(_fps_kernel_r8, to=to, n_real=N),
-        grid=(n_steps,),
-        out_shape=jax.ShapeDtypeStruct((n_steps * to, 1), jnp.int32),
-        in_specs=[pl.BlockSpec((8, n8), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((to, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, n8), jnp.float32),
-                        pltpu.VMEM((1, 1), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x, y, z)
-    return out[:npoint].T
+    x, y, z = (a.reshape(rows, n8) for a in (x, y, z))
+
+    outer = int(_B1_OPS_BUDGET // max(n_pad, 1))
+    outer = max(_TO, (outer // _TO) * _TO)
+    col = (jnp.arange(rows, dtype=jnp.int32)[:, None] * n8
+           + jnp.arange(n8, dtype=jnp.int32)[None, :])
+    mind = jnp.where(col < N, _INF, -1.0).astype(jnp.float32)
+    last = jnp.zeros((1, 1), jnp.int32)
+
+    outs = []
+    done = 0
+    while done < npoint:
+        cnt = min(outer, npoint - done)
+        to = cnt if cnt <= 4 * _TO else _TO
+        n_steps = -(-cnt // to)
+        first = jnp.full((1, 1), 1 if done == 0 else 0, jnp.int32)
+        idx, mind, last = pl.pallas_call(
+            functools.partial(_fps_kernel_r8, to=to, n_real=N,
+                              n_steps=n_steps),
+            grid=(n_steps,),
+            out_shape=[jax.ShapeDtypeStruct((n_steps * to, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((rows, n8), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+            in_specs=[pl.BlockSpec((rows, n8), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)] * 3
+                     + [pl.BlockSpec((rows, n8), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((to, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((rows, n8), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)],
+            input_output_aliases={3: 1, 4: 2},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(x, y, z, mind, last, first)
+        outs.append(idx[:cnt])
+        done += cnt
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.T
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))

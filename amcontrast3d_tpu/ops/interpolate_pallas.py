@@ -4,8 +4,7 @@
 and the CUDA kernels ``interpolate_gpu.cu``).  The XLA path runs a kNN(3)
 per FP stage, gathers (B, N1, 3, C) neighbor features and scatter-adds in
 backward; here one forward kernel finds each fine point's 3rd-nearest
-coarse distance (same value-only tournament as ops/contrast_pallas.py) and
-computes
+coarse distance and computes
 
     up_q = Σ_j nb_qj · w_qj · f_j / Σ_j nb_qj · w_qj ,  w = 1/(√d² + 1e-8)
 
@@ -14,11 +13,19 @@ constant-1 column to the coarse features (its output column IS the weight
 sum).  The VJP w.r.t. the coarse features is a single support-side matmul
 kernel (positions carry no gradient in the decoder).
 
-Exactness: coarse supports ≤ 8192 use the full-column selection (exact 3rd
-distance; a d² tie admits a 4th neighbor whose weight equals the tied
-3rd — averaging over ties instead of picking one).  Larger supports (only
-whole-room eval) use the grouped tournament: exact-or-superset, like the
-loss kernels.
+Spatial pruning (exact, same machinery as ops/contrast_pallas.py): the
+support is kd-sorted into cs-sized coordinate slabs and the queries
+Morton-sorted so each tile is spatially local; selection takes each chunk's
+exact top-3 slab (3 in-register extraction rounds — no tournament, so thr
+stays exact) and skips chunks whose box-to-box lower bound exceeds the
+phase-A upper bound (the tile's proportionally-positioned own chunk);
+the accumulation pass and the backward kernel skip chunks/tiles beyond the
+threshold bound the same way.  A d² tie still admits a 4th neighbor whose
+weight equals the tied 3rd — averaging over ties instead of picking one.
+
+Large supports beyond VMEM residency (only whole-room eval) use the
+two-call grid-chunked path (exact-or-superset threshold via the big kNN
+kernel).
 """
 from __future__ import annotations
 
@@ -30,15 +37,16 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .contrast_pallas import _INF, _pad_to, _params
+from .contrast_pallas import (_INF, _PRUNE, _bbox_lb, _gather_n, _kd_sort,
+                              _minmax3, _morton_sort, _pad_to, _params)
 
 TQ = 256
-CS = 2048
-_FULL_COL = 8192
+CS = 512
 # fp32 matmuls throughout: the inverse-distance weights span a huge dynamic
 # range and bf16 inputs cost ~0.4% on 20% of interpolated features (measured
 # on device); the extra passes are ~4 ms/step at flagship shapes
 _PREC = jax.lax.Precision.HIGHEST
+_KP = 8  # top-3 slab rows padded to a sublane multiple
 
 
 def _shapes_sup(N2: int):
@@ -51,23 +59,17 @@ def _shapes_sup(N2: int):
     return n_pad, cs
 
 
-def _sel_group(n_pad: int) -> int:
-    if n_pad <= _FULL_COL:
-        return 0
-    for g in (64, 32, 16, 8):
-        if n_pad // g >= 768:
-            return g
-    return 8
-
-
 def _interp_kernel(qT_ref, buf_ref, out_ref, aux_ref, cand_ref, *, cs: int,
-                   C: int, g: int, precision):
+                   C: int, precision):
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
     qx = qT_ref[0, 0:1, :]
     qy = qT_ref[0, 1:2, :]
     qz = qT_ref[0, 2:3, :]
     tq = qx.shape[1]
     n_pad = buf_ref.shape[1]
     n_chunks = n_pad // cs
+    prune = _PRUNE and n_chunks > 1
 
     def d2_of(ch):
         sx = ch[:, C + 1:C + 2]
@@ -75,20 +77,51 @@ def _interp_kernel(qT_ref, buf_ref, out_ref, aux_ref, cand_ref, *, cs: int,
         sz = ch[:, C + 3:C + 4]
         return (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
 
-    def sel_body(c, _):
-        ch = buf_ref[0, pl.ds(c * cs, cs), :]
-        d2 = d2_of(ch)
-        if g == 0:
-            cand_ref[pl.ds(c * cs, cs), :] = d2
-        else:
-            d3 = d2.reshape(cs // g, g, tq)
-            m1 = jnp.min(d3, axis=1)
-            m2 = jnp.min(jnp.where(d3 == m1[:, None, :], _INF, d3), axis=1)
-            cand_ref[pl.ds(c * (cs // g), cs // g), :] = m1
-            cand_ref[pl.ds(n_pad // g + c * (cs // g), cs // g), :] = m2
-        return 0
+    if prune:
+        qlo = (jnp.min(qx), jnp.min(qy), jnp.min(qz))
+        qhi = (jnp.max(qx), jnp.max(qy), jnp.max(qz))
 
-    lax.fori_loop(0, n_chunks, sel_body, 0)
+        def chunk_lb(c):
+            pc = buf_ref[0, pl.ds(c * cs, cs), C + 1:C + 4]
+            clo, chi = _minmax3(pc)
+            return _bbox_lb(qlo, qhi, clo, chi)
+    else:
+        chunk_lb = lambda c: 0.0
+
+    def chunk_top3(c):
+        """This chunk's exact 3 smallest d² per query as a (KP, tq) slab
+        (full-column extraction rounds — selection stays exact)."""
+        ch = buf_ref[0, pl.ds(c * cs, cs), :]
+        cd = d2_of(ch)
+        rows = []
+        for _ in range(3):
+            m = jnp.min(cd, axis=0, keepdims=True)
+            rows.append(m)
+            cd = jnp.where(cd == m, _INF, cd)
+        rows += [jnp.full((1, tq), _INF, jnp.float32)] * (_KP - 3)
+        return jnp.concatenate(rows, axis=0)
+
+    if not prune:
+        def sel_body(c, _):
+            cand_ref[pl.ds(c * _KP, _KP), :] = chunk_top3(c)
+            return 0
+        lax.fori_loop(0, n_chunks, sel_body, 0)
+    else:
+        # phase A: the tile's proportionally-positioned chunk upper-bounds
+        # every query's true 3rd distance (3rd over a support subset only
+        # shrinks as support grows); phase B stores candidates of every
+        # chunk that could beat it
+        c0 = (t * n_chunks) // n_tiles
+        candA = chunk_top3(c0)
+        ub = jnp.max(candA[2:3, :]) * (1.0 + 1e-4)
+        cand_ref[:] = jnp.full(cand_ref.shape, _INF, cand_ref.dtype)
+
+        def sel_cond(c, _):
+            @pl.when(chunk_lb(c) <= ub)
+            def _():
+                cand_ref[pl.ds(c * _KP, _KP), :] = chunk_top3(c)
+            return 0
+        lax.fori_loop(0, n_chunks, sel_cond, 0)
 
     def ext_body(j, cd):
         m = jnp.min(cd, axis=0, keepdims=True)
@@ -96,8 +129,9 @@ def _interp_kernel(qT_ref, buf_ref, out_ref, aux_ref, cand_ref, *, cs: int,
 
     cd = lax.fori_loop(0, 2, ext_body, cand_ref[:])
     thr = jnp.min(cd, axis=0, keepdims=True) * (1.0 + 1e-6)      # (1, tq)
+    thr_bound = jnp.max(thr) * (1.0 + 1e-4)
 
-    def body(c, carry):
+    def chunk_acc(c, carry):
         acc, accw = carry
         ch = buf_ref[0, pl.ds(c * cs, cs), :]
         d2 = d2_of(ch)
@@ -112,6 +146,12 @@ def _interp_kernel(qT_ref, buf_ref, out_ref, aux_ref, cand_ref, *, cs: int,
         # Σw column is (tq, 1) and in-kernel transposes are relayouts)
         return acc, accw + jnp.sum(w, axis=0, keepdims=True)
 
+    def body(c, carry):
+        if not prune:
+            return chunk_acc(c, carry)
+        return lax.cond(chunk_lb(c) <= thr_bound,
+                        lambda cr: chunk_acc(c, cr), lambda cr: cr, carry)
+
     acc, accw = lax.fori_loop(
         0, n_chunks, body,
         (jnp.zeros((tq, C + 1), jnp.float32),
@@ -123,15 +163,22 @@ def _interp_kernel(qT_ref, buf_ref, out_ref, aux_ref, cand_ref, *, cs: int,
 
 def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
     """df_j = Σ_q nb·(w_qj / Wsum_q)·g_q — one support-side matmul kernel.
-    qbuf = [g(C) | x y z thr wsum] resident; support chunk via sT (4, cs)."""
+    qbuf = [g(C) | x y z thr wsum] resident; support chunk via sT (4, cs).
+    Query tiles whose box-to-box lower bound exceeds the tile's threshold
+    bound have w ≡ 0 and are skipped (exact, same boxes as forward)."""
     m_pad = qbuf_ref.shape[1]
     C = qbuf_ref.shape[2] - 5
     sx = sT_ref[0, 0:1, :]
     sy = sT_ref[0, 1:2, :]
     sz = sT_ref[0, 2:3, :]
     cs = sx.shape[1]
+    n_tiles = m_pad // tq
+    prune = _PRUNE and n_tiles > 1
+    if prune:
+        clo = (jnp.min(sx), jnp.min(sy), jnp.min(sz))
+        chi = (jnp.max(sx), jnp.max(sy), jnp.max(sz))
 
-    def body(t, acc):
+    def tile_grad(t, acc):
         qb = qbuf_ref[0, pl.ds(t * tq, tq), :]
         qx, qy, qz = qb[:, C:C + 1], qb[:, C + 1:C + 2], qb[:, C + 2:C + 3]
         thr, wsum = qb[:, C + 3:C + 4], qb[:, C + 4:C + 5]
@@ -144,6 +191,16 @@ def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
                                      preferred_element_type=jnp.float32,
                                      precision=precision)
 
+    def body(t, acc):
+        if not prune:
+            return tile_grad(t, acc)
+        qp = qbuf_ref[0, pl.ds(t * tq, tq), C:C + 4]  # x y z thr
+        qlo, qhi = _minmax3(qp)
+        tb = jnp.max(qp[:, 3:4]) * (1.0 + 1e-4)
+        lb = _bbox_lb(qlo, qhi, clo, chi)
+        return lax.cond(lb <= tb, lambda a: tile_grad(t, a),
+                        lambda a: a, acc)
+
     dfs_ref[0] = lax.fori_loop(0, m_pad // tq, body,
                                jnp.zeros((cs, qbuf_ref.shape[2] - 5),
                                          jnp.float32))
@@ -153,6 +210,8 @@ def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
 # two-call big path runs (3rd-NN threshold via the grid-chunked kNN kernel,
 # then chunked accumulation) — whole-room eval rungs reach 1.2M points
 _SUP_VMEM_BUDGET = 48 * 1024 * 1024
+
+_BIG_CS = 2048  # support chunk of the grid-chunked large-N path
 
 
 def _buf_vmem_bytes(n_pad: int, C: int) -> int:
@@ -204,8 +263,8 @@ def _interp_fwd_big(p1, p2, f2, interpret):
 
     B, N1, _ = p1.shape
     _, N2, C = f2.shape
-    n_pad = -(-N2 // CS) * CS
-    n_chunks = n_pad // CS
+    n_pad = -(-N2 // _BIG_CS) * _BIG_CS
+    n_chunks = n_pad // _BIG_CS
     tq = min(TQ, -(-N1 // 8) * 8)
     m_pad = -(-N1 // tq) * tq
 
@@ -229,7 +288,7 @@ def _interp_fwd_big(p1, p2, f2, interpret):
         in_specs=[
             pl.BlockSpec((1, 4, tq), lambda b, t, c: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CS, C + 4), lambda b, t, c: (b, c, 0),
+            pl.BlockSpec((1, _BIG_CS, C + 4), lambda b, t, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -253,31 +312,32 @@ def _interp_fwd_big(p1, p2, f2, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def three_interpolation_fused(p1, p2, f2, interpret: bool = False):
     """p1 (B,N1,3) fine, p2 (B,N2,3) coarse, f2 (B,N2,C) → (B,N1,C)."""
-    out, _, _ = _interp_fwd_impl(p1, p2, f2, interpret)
+    out, _ = _interp_fwd_impl(p1, p2, f2, interpret)
     return out
 
 
-def _interp_fwd_impl(p1, p2, f2, interpret):
-    B, N1, _ = p1.shape
-    _, N2, C = f2.shape
-    prec = _PREC
+def _sort_on(n_pad: int, cs: int) -> bool:
+    return _PRUNE and n_pad // cs > 1
+
+
+def _run_fwd_kernel(p1s, p2s, f2s, interpret):
+    """Kernel invocation on (possibly sorted) inputs."""
+    B, N1, _ = p1s.shape
+    _, N2, C = f2s.shape
     n_pad, cs = _shapes_sup(N2)
-    if _buf_vmem_bytes(n_pad, C) > _SUP_VMEM_BUDGET:
-        return _interp_fwd_big(p1, p2, f2, interpret)
     tq = min(TQ, -(-N1 // 8) * 8)
     m_pad = -(-N1 // tq) * tq
-    g = _sel_group(n_pad)
-    cand_rows = n_pad if g == 0 else 2 * n_pad // g
+    cand_rows = _KP * (n_pad // cs)
 
     ones = jnp.ones((B, N2, 1), jnp.float32)
-    buf = jnp.concatenate([f2, ones, p2], axis=-1)        # [f | 1 | xyz]
+    buf = jnp.concatenate([f2s, ones, p2s], axis=-1)      # [f | 1 | xyz]
     buf = _pad_to(buf, n_pad, 1, value=0.0)
     if n_pad > N2:
         buf = buf.at[:, N2:, C + 1:C + 4].set(1e4)
-    qT = jnp.transpose(_pad_to(p1, m_pad, 1, value=-1e4), (0, 2, 1))
+    qT = jnp.transpose(_pad_to(p1s, m_pad, 1, value=-1e4), (0, 2, 1))
 
     out, aux = pl.pallas_call(
-        functools.partial(_interp_kernel, cs=cs, C=C, g=g, precision=prec),
+        functools.partial(_interp_kernel, cs=cs, C=C, precision=_PREC),
         grid=(B, m_pad // tq),
         in_specs=[
             pl.BlockSpec((1, 3, tq), lambda b, t: (b, 0, t),
@@ -302,29 +362,56 @@ def _interp_fwd_impl(p1, p2, f2, interpret):
     return out[:, :N1], aux[:, 0, :N1], aux[:, 1, :N1]
 
 
+def _interp_fwd_impl(p1, p2, f2, interpret):
+    """Returns (out in ORIGINAL fine order, residuals for the VJP).
+
+    With pruning on, queries are Morton-sorted and the support kd-sorted
+    (positions sort-carried — in-jit position gathers feeding a Pallas call
+    miscompile on the remote-TPU platform; feature/output gathers are
+    sound) and the residuals stay in sorted space for the backward."""
+    B, N1, _ = p1.shape
+    _, N2, C = f2.shape
+    n_pad, cs = _shapes_sup(N2)
+    if _buf_vmem_bytes(n_pad, C) > _SUP_VMEM_BUDGET:
+        out, thr, wsum = _interp_fwd_big(p1, p2, f2, interpret)
+        return out, (p1, p2, thr, wsum, None, None)
+    if not _sort_on(n_pad, cs):
+        out, thr, wsum = _run_fwd_kernel(p1, p2, f2, interpret)
+        return out, (p1, p2, thr, wsum, None, None)
+    p2s, perm2, inv2 = _kd_sort(p2, n_pad, cs)
+    f2s = _gather_n(f2, perm2)
+    p1s, perm1, inv1 = _morton_sort(p1)
+    out_s, thr_s, wsum_s = _run_fwd_kernel(p1s, p2s, f2s, interpret)
+    out = _gather_n(out_s, inv1)
+    return out, (p1s, p2s, thr_s, wsum_s, perm1, inv2)
+
+
 def _interp_fwd(p1, p2, f2, interpret):
-    out, thr, wsum = _interp_fwd_impl(p1, p2, f2, interpret)
-    return out, (p1, p2, thr, wsum)
+    out, res = _interp_fwd_impl(p1, p2, f2, interpret)
+    return out, res
 
 
 def _interp_bwd(interpret, res, gout):
-    p1, p2, thr, wsum = res
+    p1r, p2r, thr, wsum, perm1, inv2 = res
     C = gout.shape[-1]
-    B, N1, _ = p1.shape
-    N2 = p2.shape[1]
+    B, N1, _ = p1r.shape
+    N2 = p2r.shape[1]
     prec = _PREC
     n_pad, cs = _shapes_sup(N2)
     tq = min(TQ, -(-N1 // 8) * 8)
     m_pad = -(-N1 // tq) * tq
 
+    if perm1 is not None:
+        gout = _gather_n(gout, perm1)       # into sorted query order
+
     qbuf = jnp.concatenate(
-        [gout, p1, thr[..., None], wsum[..., None]], axis=-1)
+        [gout, p1r, thr[..., None], wsum[..., None]], axis=-1)
     qbuf = _pad_to(qbuf, m_pad, 1, value=0.0)
     if m_pad > N1:
         # padded queries: thr=-1 removes every membership; wsum=1 avoids 0/0
         qbuf = qbuf.at[:, N1:, C + 3].set(-1.0)
         qbuf = qbuf.at[:, N1:, C + 4].set(1.0)
-    sT = jnp.transpose(_pad_to(p2, n_pad, 1, value=1e4), (0, 2, 1))
+    sT = jnp.transpose(_pad_to(p2r, n_pad, 1, value=1e4), (0, 2, 1))
 
     cs_sup = 512 if n_pad % 512 == 0 else n_pad
     df2 = pl.pallas_call(
@@ -342,7 +429,10 @@ def _interp_bwd(interpret, res, gout):
         compiler_params=_params(),
         interpret=interpret,
     )(qbuf, sT)
-    return jnp.zeros_like(p1), jnp.zeros_like(p2), df2[:, :N2]
+    df2 = df2[:, :N2]
+    if inv2 is not None:
+        df2 = _gather_n(df2, inv2)          # back to original support order
+    return jnp.zeros((B, N1, 3), df2.dtype), jnp.zeros((B, N2, 3), df2.dtype), df2
 
 
 three_interpolation_fused.defvjp(_interp_fwd, _interp_bwd)

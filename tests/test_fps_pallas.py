@@ -44,3 +44,27 @@ def test_pallas_fps_b1_reshaped_padded(rng, monkeypatch):
     a = np.asarray(furthest_point_sample(xyz, 60))
     b = np.asarray(FP.furthest_point_sample_pallas(xyz, 60, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fps_b1_multicall(rng, monkeypatch):
+    """The B==1 sampler splits across bounded calls (device watchdog kills
+    multi-second kernels); forcing tiny per-call budgets must not change
+    the sampled indices."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(FP, "_B1_OPS_BUDGET", 1.0)  # outer -> _TO floor
+    monkeypatch.setattr(FP, "_TO", 16)
+    xyz = jnp.asarray(rng.rand(1, 300, 3).astype(np.float32) * 2)
+    a = np.asarray(furthest_point_sample(xyz, 100))
+    b = np.asarray(FP.furthest_point_sample_pallas(xyz, 100, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fps_b1_multirow_layout(rng, monkeypatch):
+    """Past the lane-width cap the planes reshape to (R>8, N/R); the
+    global row-major index must keep sampling identical."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(FP, "_B1_MAX_LANES", 16)  # force rows > 8
+    xyz = jnp.asarray(rng.rand(1, 300, 3).astype(np.float32) * 2)
+    a = np.asarray(furthest_point_sample(xyz, 64))
+    b = np.asarray(FP.furthest_point_sample_pallas(xyz, 64, interpret=True))
+    np.testing.assert_array_equal(a, b)
