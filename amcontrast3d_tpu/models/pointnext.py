@@ -54,18 +54,21 @@ _EVAL_GATHER_BUDGET = 256 * 1024 * 1024
 
 
 def _grouped_tail(idx, hf, sup, q, dp_dense, bn_fn, act, dp_scale, pool,
-                  chunkable: bool):
+                  chunkable: bool, dp_pre=None):
     """gather(hf) + dp-projection + norm + act + pool over K — the memory
     peak of the separable aggregation.  ``chunkable`` (inference, unmasked)
     streams query chunks so the (B, M, K, C) tensor never materializes
-    whole."""
+    whole.  ``dp_pre``: precomputed raw (B, M, K, 3) relative positions
+    (consecutive blocks of a stage share them — saves one (B·M·K, 3)
+    gather per block)."""
     B, M, K = idx.shape
     C = hf.shape[-1]
     nbytes = B * M * K * C * 4
 
-    def tail(idx_c, q_c):
+    def tail(idx_c, q_c, dp_c):
         hj = group_points(hf, idx_c)
-        dp = group_points(sup, idx_c) - q_c[:, :, None, :]
+        dp = (group_points(sup, idx_c) - q_c[:, :, None, :]
+              if dp_c is None else dp_c)
         if dp_scale is not None:
             dp = dp / dp_scale
         h = hj + dp_dense(dp)
@@ -75,10 +78,11 @@ def _grouped_tail(idx, hf, sup, q, dp_dense, bn_fn, act, dp_scale, pool,
         return pool(h)
 
     if not chunkable or nbytes <= _EVAL_GATHER_BUDGET:
-        return tail(idx, q)
+        return tail(idx, q, dp_pre)
     n_chunks = -(-nbytes // _EVAL_GATHER_BUDGET)
     mc = -(-M // n_chunks)
-    outs = [tail(idx[:, s:s + mc], q[:, s:s + mc])
+    outs = [tail(idx[:, s:s + mc], q[:, s:s + mc],
+                 None if dp_pre is None else dp_pre[:, s:s + mc])
             for s in range(0, M, mc)]
     return jnp.concatenate(outs, axis=1)
 
@@ -121,7 +125,12 @@ class LocalAggregation(nn.Module):
         """``cached_idx``: precomputed grouping indices — consecutive blocks
         of one encoder stage share identical (points, radius, nsample), and
         both this ball query and the reference CUDA kernel are deterministic,
-        so reusing the first block's result is bit-identical."""
+        so reusing the first block's result is bit-identical.  May be an
+        ``(idx, dp)`` tuple to also share the raw gathered relative
+        positions."""
+        cached_dp = None
+        if isinstance(cached_idx, tuple):
+            cached_idx, cached_dp = cached_idx
         order = (self.conv_args or {}).get("order", "conv-norm-act")
         out_channels = list(self.channels[1:])
         grouper = create_grouper(self.group_args)
@@ -176,7 +185,8 @@ class LocalAggregation(nn.Module):
             idx, hf, p, p, dp_dense,
             (lambda t: bn(t, mask=bn_mask)) if bn is not None else (lambda t: t),
             act, dp_scale, _pool(self.reduction),
-            chunkable=not training and bn_mask is None)
+            chunkable=not training and bn_mask is None,
+            dp_pre=cached_dp)
 
 
 def _norm_name_local(norm_args):
@@ -552,6 +562,14 @@ class PointNextEncoder(nn.Module):
                     shared_idx = _bq(supb, p, radii[i][1], nsamples[i][1])
                 else:
                     shared_idx, _ = _knn(supb, p, nsamples[i][1])
+                    from ..ops import clamp_members_valid as _cmv
+                    shared_idx = _cmv(shared_idx, nv)
+                # blocks also share the raw relative positions (one gather
+                # instead of one per block; radius-normalization is
+                # identical across the stage and stays in the block)
+                shared_dp = (group_points(p, shared_idx)
+                             - p[:, :, None, :])
+                shared_idx = (shared_idx, shared_dp)
             for j in range(1, self.blocks[i]):
                 gaj = dict(self.group_args or {"NAME": "ballquery"})
                 gaj["radius"] = radii[i][j]
