@@ -98,6 +98,76 @@ def _pool(reduction: str):
     raise ValueError(reduction)
 
 
+# activations that commute with a per-channel max through a monotone
+# (sign-adjusted) affine: nondecreasing everywhere
+_MONOTONE_ACTS = {None, "relu", "relu6", "leakyrelu", "elu", "sigmoid",
+                  "tanh"}
+
+
+class GroupStatsBN(nn.Module):
+    """BatchNorm + activation + max-pool over the VIRTUAL grouped tensor
+    ``h[b, i, k, c] = u[idx[b, i, k]] − qp[b, i]`` without materializing it
+    (see ops/aggregate_pallas).  The kernel returns the per-query signed
+    extremum and slot moments; batch statistics reconstruct in closed form
+    and the pooled output is ``act(affine(h_ext))`` — exact because the
+    post-BN affine is monotone per channel in the extremum's direction.
+
+    Declares the exact parameter/stat tree of the ``nn.BatchNorm`` it
+    replaces (instantiate with ``name='BatchNorm_0'`` so checkpoints are
+    backend-invariant); statistics/update formulas mirror flax
+    (fast variance, momentum·ra + (1−momentum)·batch, single pmean of the
+    concatenated [mean, mean²] under ``axis_name`` — SyncBN)."""
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, sup_p, q_p, u, qp, idx, radius, act):
+        from jax import lax
+        import jax
+        from ..ops.aggregate_pallas import grouped_slot_reduce
+        C = u.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (C,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (C,))
+        sgn = jnp.where(lax.stop_gradient(scale) >= 0, 1.0, -1.0)
+        interpret = jax.default_backend() != "tpu"
+        qp32 = qp.astype(jnp.float32)
+        if self.use_running_average:
+            ext, _, _ = grouped_slot_reduce(
+                sup_p, q_p, u, idx, sgn, radius=radius, need_stats=False,
+                interpret=interpret)
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            ext, su, sq = grouped_slot_reduce(
+                sup_p, q_p, u, idx, sgn, radius=radius, interpret=interpret)
+            B, M, K = idx.shape
+            n = B * M * K
+            # moments of h = u_slot − qp over (B, M, K)
+            mean = (jnp.sum(su, axis=(0, 1))
+                    - K * jnp.sum(qp32, axis=(0, 1))) / n
+            mu2 = jnp.sum(sq - 2.0 * qp32 * su + K * qp32 * qp32,
+                          axis=(0, 1)) / n
+            if self.axis_name is not None and not self.is_initializing():
+                conc = lax.pmean(jnp.concatenate([mean, mu2]),
+                                 axis_name=self.axis_name)
+                mean, mu2 = jnp.split(conc, 2)
+            var = jnp.maximum(mu2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        h_ext = ext - qp32
+        mul = lax.rsqrt(var + self.epsilon) * scale
+        y = (h_ext - mean) * mul + bias
+        return act(y) if act is not None else y
+
+
 class LocalAggregation(nn.Module):
     """Group → per-neighbor MLP → pool (↔ pointnext.py:27-78).
 
@@ -160,6 +230,7 @@ class LocalAggregation(nn.Module):
             return _pool(self.reduction)(fj)
 
         from ..ops import ball_query, group_points, knn
+        from ..ops.aggregate_pallas import agg_fused_enabled
         out_ch = out_channels[0]
         if cached_idx is not None:
             idx = cached_idx
@@ -174,13 +245,32 @@ class LocalAggregation(nn.Module):
                       name="w_f")(f)
         dp_dense = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                             name="w_dp")
+        act = create_act(self.act_args) if self.last_act else None
+        dp_scale = (grouper.radius if grouper.normalize_dp
+                    and grouper.method == "ballquery" else None)
+        from ..ops.aggregate_pallas import agg_fused_fits
+        from .layers import _act_name
+        if (agg_fused_enabled() and bn_mask is None
+                and self.reduction.lower() == "max"
+                and agg_fused_fits(p.shape[1], out_ch, idx.shape[-1])
+                and (not self.last_act
+                     or _act_name(self.act_args) in _MONOTONE_ACTS)):
+            # slot one-hot gather-reduce: no grouped tensor, no scatter
+            proj = dp_dense(p)
+            if dp_scale is not None:
+                proj = proj * (1.0 / dp_scale)
+            u = hf + proj
+            bn_mod = GroupStatsBN(use_running_average=not training,
+                                  momentum=0.9, epsilon=1e-5,
+                                  axis_name=self.bn_axis_name,
+                                  name="BatchNorm_0")
+            radius = (grouper.radius if grouper.method == "ballquery"
+                      else None)
+            return bn_mod(p, p, u, proj, idx, radius, act)
         bn = (nn.BatchNorm(use_running_average=not training, momentum=0.9,
                            epsilon=1e-5, axis_name=self.bn_axis_name,
                            dtype=jnp.float32)
               if _norm_name_local(self.norm_args) is not None else None)
-        act = create_act(self.act_args) if self.last_act else None
-        dp_scale = (grouper.radius if grouper.normalize_dp
-                    and grouper.method == "ballquery" else None)
         return _grouped_tail(
             idx, hf, p, p, dp_dense,
             (lambda t: bn(t, mask=bn_mask)) if bn is not None else (lambda t: t),
@@ -293,17 +383,39 @@ class SetAbstraction(nn.Module):
                           name="w_f")(f)
             dp_dense = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                                 name="w_dp")
-            bn = nn.BatchNorm(use_running_average=not training, momentum=0.9,
-                              epsilon=1e-5, axis_name=self.bn_axis_name,
-                              dtype=jnp.float32)
             act = None if use_res else create_act(self.act_args)
             dp_scale = (grouper.radius if grouper.normalize_dp
                         and grouper.method == "ballquery" else None)
-            f = _grouped_tail(
-                gidx, hf, sup, new_p, dp_dense,
-                lambda t: bn(t, mask=bn_mask), act, dp_scale,
-                lambda t: jnp.max(t, axis=-2),
-                chunkable=not training and bn_mask is None)
+            from ..ops.aggregate_pallas import agg_fused_enabled, agg_fused_fits
+            from .layers import _act_name
+            if (agg_fused_enabled() and bn_mask is None
+                    and agg_fused_fits(p.shape[1], out_ch, gidx.shape[-1])
+                    and (act is None
+                         or _act_name(self.act_args) in _MONOTONE_ACTS)):
+                proj = dp_dense(p)
+                if dp_scale is not None:
+                    proj = proj * (1.0 / dp_scale)
+                u = hf + proj
+                qproj = dp_dense(new_p)
+                if dp_scale is not None:
+                    qproj = qproj * (1.0 / dp_scale)
+                bn_mod = GroupStatsBN(use_running_average=not training,
+                                      momentum=0.9, epsilon=1e-5,
+                                      axis_name=self.bn_axis_name,
+                                      name="BatchNorm_0")
+                radius = (grouper.radius if grouper.method == "ballquery"
+                          else None)
+                f = bn_mod(p, new_p, u, qproj, gidx, radius, act)
+            else:
+                bn = nn.BatchNorm(use_running_average=not training,
+                                  momentum=0.9, epsilon=1e-5,
+                                  axis_name=self.bn_axis_name,
+                                  dtype=jnp.float32)
+                f = _grouped_tail(
+                    gidx, hf, sup, new_p, dp_dense,
+                    lambda t: bn(t, mask=bn_mask), act, dp_scale,
+                    lambda t: jnp.max(t, axis=-2),
+                    chunkable=not training and bn_mask is None)
         else:
             dp, fj = grouper(new_p, sup, f, n_valid=n_valid)
             fj = get_aggregation_features(new_p, dp, fi, fj, self.feature_type)
@@ -566,10 +678,14 @@ class PointNextEncoder(nn.Module):
                     shared_idx = _cmv(shared_idx, nv)
                 # blocks also share the raw relative positions (one gather
                 # instead of one per block; radius-normalization is
-                # identical across the stage and stays in the block)
-                shared_dp = (group_points(p, shared_idx)
-                             - p[:, :, None, :])
-                shared_idx = (shared_idx, shared_dp)
+                # identical across the stage and stays in the block) —
+                # unless the fused slot-reduce tail is on, which never
+                # materializes dp at all
+                from ..ops.aggregate_pallas import agg_fused_enabled
+                if not agg_fused_enabled():
+                    shared_dp = (group_points(p, shared_idx)
+                                 - p[:, :, None, :])
+                    shared_idx = (shared_idx, shared_dp)
             for j in range(1, self.blocks[i]):
                 gaj = dict(self.group_args or {"NAME": "ballquery"})
                 gaj["radius"] = radii[i][j]
