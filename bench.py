@@ -136,6 +136,18 @@ def _device_canary():
 def main():
     import jax
 
+    # Probe the backend before any compile: a wedged/unavailable remote
+    # chip otherwise surfaces as a bare stack trace.  Emit a machine-
+    # readable failure line and exit non-zero instead.
+    try:
+        jax.devices()
+    except Exception as e:  # RuntimeError on axon; be permissive here
+        print(json.dumps({
+            "metric": "train_points_per_sec_per_chip", "value": None,
+            "unit": "points/s", "vs_baseline": None,
+            "error": f"accelerator unavailable: {e}"}))
+        sys.exit(3)
+
     from __graft_entry__ import AMBIGUITY_ARGS, _batch, _flagship_cfg
     from amcontrast3d_tpu.engine import (build_tx, create_train_state,
                                          make_predict_step, make_train_step)

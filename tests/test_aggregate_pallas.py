@@ -244,6 +244,29 @@ def test_set_abstraction_fused_parity(rng, _fused_mode):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_local_aggregation_fused_bf16(rng, _fused_mode):
+    """use_amp axis: bf16 model dtype through the fused tail stays inside
+    the documented bf16 envelope vs the gather tail at the same dtype."""
+    from amcontrast3d_tpu.models.pointnext import LocalAggregation
+    mod = LocalAggregation(
+        channels=[16, 24],
+        norm_args={"norm": "bn"}, act_args={"act": "relu"},
+        group_args={"NAME": "ballquery", "radius": 0.3, "nsample": 8},
+        conv_args={"order": "conv-norm-act"}, dtype=jnp.bfloat16)
+    p = jnp.asarray(rng.rand(2, 200, 3).astype(np.float32))
+    f = jnp.asarray(rng.randn(2, 200, 16).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), p, f, training=False)
+    set_agg_fused("off")
+    out_g, _ = mod.apply(variables, p, f, training=True,
+                         mutable=["batch_stats"])
+    set_agg_fused("on")
+    out_f, _ = mod.apply(variables, p, f, training=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f, np.float32),
+                               np.asarray(out_g, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_param_tree_invariant(rng, _fused_mode):
     """Checkpoints must be backend-invariant: the fused tail declares the
     exact param/stat tree of the nn.BatchNorm it replaces."""
