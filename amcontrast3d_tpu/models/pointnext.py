@@ -143,15 +143,17 @@ class GroupStatsBN(nn.Module):
                 interpret=interpret)
             mean, var = ra_mean.value, ra_var.value
         else:
+            # the kernel subtracts qp per query slot BEFORE the moment
+            # accumulation (h-space) — reconstructing E[h²] from u-moments
+            # cancels catastrophically (|h| ≪ |u|) and visibly perturbs
+            # deep-stack losses
             ext, su, sq = grouped_slot_reduce(
-                sup_p, q_p, u, idx, sgn, radius=radius, interpret=interpret)
+                sup_p, q_p, u, idx, sgn, radius=radius, qp=qp32,
+                interpret=interpret)
             B, M, K = idx.shape
             n = B * M * K
-            # moments of h = u_slot − qp over (B, M, K)
-            mean = (jnp.sum(su, axis=(0, 1))
-                    - K * jnp.sum(qp32, axis=(0, 1))) / n
-            mu2 = jnp.sum(sq - 2.0 * qp32 * su + K * qp32 * qp32,
-                          axis=(0, 1)) / n
+            mean = jnp.sum(su, axis=(0, 1)) / n
+            mu2 = jnp.sum(sq, axis=(0, 1)) / n
             if self.axis_name is not None and not self.is_initializing():
                 conc = lax.pmean(jnp.concatenate([mean, mu2]),
                                  axis_name=self.axis_name)

@@ -167,9 +167,9 @@ def _query_box(qposT_ref):
             (jnp.max(qx), jnp.max(qy), jnp.max(qz)))
 
 
-def _fwd_kernel(qposT_ref, idxT_ref, sgn_ref, buf_ref, out_ref, g_ref, *,
-                cs: int, C: int, K: int, splits: int, radius2: float,
-                need_stats: bool):
+def _fwd_kernel(qposT_ref, idxT_ref, sgn_ref, qp_ref, buf_ref, out_ref,
+                g_ref, *, cs: int, C: int, K: int, splits: int,
+                radius2: float, need_stats: bool):
     tq = qposT_ref.shape[2]
     n_pad = buf_ref.shape[1]
     n_chunks = n_pad // cs
@@ -199,21 +199,27 @@ def _fwd_kernel(qposT_ref, idxT_ref, sgn_ref, buf_ref, out_ref, g_ref, *,
     ext = jnp.full((tq, C), -_INF, jnp.float32)
     su = jnp.zeros((tq, C), jnp.float32)
     sq = jnp.zeros((tq, C), jnp.float32)
+    if need_stats:
+        qp = qp_ref[0]                                         # (tq, C)
     for k in range(K):
         gk = g_ref[k * tq:(k + 1) * tq, :]
         ext = jnp.maximum(ext, gk * s)
         if need_stats:
-            su = su + gk
-            sq = sq + gk * gk
+            # moments of h = u_slot − qp accumulate in h-space — computing
+            # them from u-moments (E[u²] − 2qp·E[u] + qp²) cancels
+            # catastrophically when u and qp are large and correlated
+            hk = gk - qp
+            su = su + hk
+            sq = sq + hk * hk
     out_ref[0, :, 0:C] = ext * s
     if need_stats:
         out_ref[0, :, C:2 * C] = su
         out_ref[0, :, 2 * C:3 * C] = sq
 
 
-def _bwd_kernel(qposT_ref, idxT_ref, sgn_ref, extT_ref, gT_ref, buf_ref,
-                du_ref, g_ref, *, cs: int, C: int, K: int, splits: int,
-                radius2: float):
+def _bwd_kernel(qposT_ref, idxT_ref, sgn_ref, qp_ref, extT_ref, gT_ref,
+                buf_ref, du_ref, g_ref, *, cs: int, C: int, K: int,
+                splits: int, radius2: float):
     """du[j] += Σ_{i,k: idx[i,k]==j} γ_k[i] with γ the per-slot upstream
     weight.  Grid over query tiles; the full (n_pad, C) du block stays
     resident and accumulates across tiles (index map constant in t)."""
@@ -261,10 +267,11 @@ def _bwd_kernel(qposT_ref, idxT_ref, sgn_ref, extT_ref, gT_ref, buf_ref,
         gk = g_ref[k * tq:(k + 1) * tq, :]
         ties = ties + jnp.where(gk * s == ext_s, 1.0, 0.0)
     gext_n = g_ext / jnp.maximum(ties, 1.0)
+    qp = qp_ref[0]
     for k in range(K):
         gk = g_ref[k * tq:(k + 1) * tq, :]
         eq = jnp.where(gk * s == ext_s, 1.0, 0.0)
-        g_ref[k * tq:(k + 1) * tq, :] = (g_sum + 2.0 * gk * g_sq
+        g_ref[k * tq:(k + 1) * tq, :] = (g_sum + 2.0 * (gk - qp) * g_sq
                                          + eq * gext_n)
 
     # pass B: du_chunk += ohᵀ · γ (2×bf16 split on γ)
@@ -338,11 +345,12 @@ def _sgnT(sgn, C):
                             (1, 8, C))
 
 
-def _run_fwd(sup_p, q_p, u, idxf, oidx, sgn, radius2, splits, need_stats,
-             interpret):
+def _run_fwd(sup_p, q_p, u, qp, idxf, oidx, sgn, radius2, splits,
+             need_stats, interpret):
     B, N, C = u.shape
     M, K = idxf.shape[1], idxf.shape[2]
     buf, qposT, idxT, m_pad, tq, n_pad, cs = _prep(sup_p, q_p, u, idxf, oidx)
+    qpT = _pad_to(qp, m_pad, 1)
     ncols = 3 * C if need_stats else C
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, cs=cs, C=C, K=K, splits=splits,
@@ -355,6 +363,8 @@ def _run_fwd(sup_p, q_p, u, idxf, oidx, sgn, radius2, splits, need_stats,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, C), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, C + 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -364,15 +374,16 @@ def _run_fwd(sup_p, q_p, u, idxf, oidx, sgn, radius2, splits, need_stats,
         scratch_shapes=[pltpu.VMEM((K * tq, C), jnp.float32)],
         compiler_params=_params(),
         interpret=interpret,
-    )(qposT, idxT, _sgnT(sgn, C), buf)
+    )(qposT, idxT, _sgnT(sgn, C), qpT, buf)
     return out[:, :M]
 
 
-def _run_bwd(sup_p, q_p, u, idxf, oidx, sgn, ext, gout, radius2, splits,
+def _run_bwd(sup_p, q_p, u, qp, idxf, oidx, sgn, ext, gout, radius2, splits,
              interpret):
     B, N, C = u.shape
     M, K = idxf.shape[1], idxf.shape[2]
     buf, qposT, idxT, m_pad, tq, n_pad, cs = _prep(sup_p, q_p, u, idxf, oidx)
+    qpT = _pad_to(qp, m_pad, 1)
     extT = _pad_to(ext, m_pad, 1)
     gT = _pad_to(gout, m_pad, 1)
     du = pl.pallas_call(
@@ -388,6 +399,8 @@ def _run_bwd(sup_p, q_p, u, idxf, oidx, sgn, ext, gout, radius2, splits,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tq, 3 * C), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, C + 4), lambda b, t: (b, 0, 0),
@@ -399,35 +412,44 @@ def _run_bwd(sup_p, q_p, u, idxf, oidx, sgn, ext, gout, radius2, splits,
         scratch_shapes=[pltpu.VMEM((K * tq, C), jnp.float32)],
         compiler_params=_params(),
         interpret=interpret,
-    )(qposT, idxT, _sgnT(sgn, C), extT, gT, buf)
+    )(qposT, idxT, _sgnT(sgn, C), qpT, extT, gT, buf)
     return du[:, :N]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _slot_reduce_core(sup_p, q_p, u, idxf, oidx, sgn, radius2, splits,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _slot_reduce_core(sup_p, q_p, u, qp, idxf, oidx, sgn, radius2, splits,
                       need_stats, interpret):
-    return _run_fwd(sup_p, q_p, u, idxf, oidx, sgn, radius2, splits,
+    return _run_fwd(sup_p, q_p, u, qp, idxf, oidx, sgn, radius2, splits,
                     need_stats, interpret)
 
 
-def _src_fwd(sup_p, q_p, u, idxf, oidx, sgn, radius2, splits, need_stats,
-             interpret):
-    out = _run_fwd(sup_p, q_p, u, idxf, oidx, sgn, radius2, splits,
+def _src_fwd(sup_p, q_p, u, qp, idxf, oidx, sgn, radius2, splits,
+             need_stats, interpret):
+    out = _run_fwd(sup_p, q_p, u, qp, idxf, oidx, sgn, radius2, splits,
                    need_stats, interpret)
-    C = u.shape[-1]
-    return out, (sup_p, q_p, u, idxf, oidx, sgn, out[..., :C])
+    return out, (sup_p, q_p, u, qp, idxf, oidx, sgn, out)
 
 
 def _src_bwd(radius2, splits, need_stats, interpret, res, gout):
-    sup_p, q_p, u, idxf, oidx, sgn, ext = res
+    sup_p, q_p, u, qp, idxf, oidx, sgn, out = res
+    C = u.shape[-1]
+    ext = out[..., :C]
     if not need_stats:
         gout = jnp.concatenate(
             [gout, jnp.zeros(gout.shape[:-1] + (2 * gout.shape[-1],),
                              gout.dtype)], axis=-1)
-    du = _run_bwd(sup_p, q_p, u, idxf, oidx, sgn, ext, gout, radius2,
+        dqp = jnp.zeros_like(qp)
+    else:
+        # qp enters every moment slot linearly (h = u_slot − qp):
+        # d su/dqp = −K, d sq/dqp = −2·Σh = −2·su
+        K = idxf.shape[-1]
+        su = out[..., C:2 * C]
+        dqp = -(K * gout[..., C:2 * C]
+                + 2.0 * gout[..., 2 * C:3 * C] * su).astype(qp.dtype)
+    du = _run_bwd(sup_p, q_p, u, qp, idxf, oidx, sgn, ext, gout, radius2,
                   splits, interpret)
     return (jnp.zeros_like(sup_p), jnp.zeros_like(q_p),
-            du.astype(u.dtype), jnp.zeros_like(idxf),
+            du.astype(u.dtype), dqp, jnp.zeros_like(idxf),
             jnp.zeros_like(oidx), jnp.zeros_like(sgn))
 
 
@@ -435,7 +457,8 @@ _slot_reduce_core.defvjp(_src_fwd, _src_bwd)
 
 
 def grouped_slot_reduce(sup_p, q_p, u, idx, sgn, radius=None,
-                        need_stats=True, splits=None, interpret=False):
+                        need_stats=True, qp=None, splits=None,
+                        interpret=False):
     """Fused grouped gather + reductions over neighbor slots.
 
     sup_p (B, N, 3) support positions, q_p (B, M, 3) query positions,
@@ -445,20 +468,29 @@ def grouped_slot_reduce(sup_p, q_p, u, idx, sgn, radius=None,
     ext[i, c] = sgn_c · max_k (sgn_c · u[idx[i, k], c]) and the moments run
     over the K slots (need_stats=False skips them — eval-mode BN).
 
+    ``qp`` (B, M, C, optional): per-query offset subtracted from every slot
+    value INSIDE the kernel before the moment accumulation (the extremum
+    stays in u-space).  The BN use case is h = u_slot − qp with |h| ≪ |u|:
+    reconstructing E[h²] from u-moments cancels catastrophically, while
+    in-kernel accumulation is exact to fp32 rounding.  Differentiable in
+    ``u`` and ``qp`` (the latter host-side in closed form).
+
     ``radius``: when idx came from a ball query with this radius, chunks
     farther than it from the query tile are skipped (exact).  Pass None
     for kNN indices (no pruning bound).
 
-    Differentiable in ``u`` only; max-pool ties split evenly, matching
-    ``jnp.max``.  Multi-chunk shapes are kd/Morton-sorted in (and un-sorted
-    on the way out) so the bbox pruning fires; positions are sort-carried
-    and the pre-sort index rides along as the one-hot key (never gathered —
-    see ops/contrast_pallas._morton_sort)."""
+    Max-pool ties split evenly, matching ``jnp.max``.  Multi-chunk shapes
+    are kd/Morton-sorted in (and un-sorted on the way out) so the bbox
+    pruning fires; positions are sort-carried and the pre-sort index rides
+    along as the one-hot key (never gathered — see
+    ops/contrast_pallas._morton_sort)."""
     B, N, C = u.shape
     M = q_p.shape[1]
     if splits is None:
         splits = 1 if u.dtype == jnp.bfloat16 else _SPLITS
     radius2 = None if radius is None else float(radius) ** 2
+    if qp is None:
+        qp = jnp.zeros((B, M, C), jnp.float32)
     # lane-pad channels to a 128 multiple (padded cols are zero and get
     # sliced off)
     Cp = -(-C // 128) * 128
@@ -466,6 +498,8 @@ def grouped_slot_reduce(sup_p, q_p, u, idx, sgn, radius=None,
         u = _pad_to(u.astype(jnp.float32), Cp, 2)
         sgn = jnp.concatenate([sgn.astype(jnp.float32),
                                jnp.ones((Cp - C,), jnp.float32)])
+    qp = _pad_to(qp.astype(jnp.float32), Cp, 2) if Cp > C else \
+        qp.astype(jnp.float32)
     idxf = idx.astype(jnp.float32)
     sup_p = jax.lax.stop_gradient(sup_p)
     q_p = jax.lax.stop_gradient(q_p)
@@ -476,14 +510,15 @@ def grouped_slot_reduce(sup_p, q_p, u, idx, sgn, radius=None,
         oidx = perm.astype(jnp.float32)           # pre-sort index per row
         qs, qperm, qinv = _morton_sort(q_p)
         idx_s = _gather_n(idxf, qperm)
-        out = _slot_reduce_core(ps, qs, u_s, idx_s, oidx, sgn, radius2,
-                                splits, need_stats, interpret)
+        qp_s = _gather_n(qp, qperm)
+        out = _slot_reduce_core(ps, qs, u_s, qp_s, idx_s, oidx, sgn,
+                                radius2, splits, need_stats, interpret)
         out = _gather_n(out, qinv)
     else:
         oidx = jnp.broadcast_to(
             jnp.arange(N, dtype=jnp.float32)[None], (B, N))
-        out = _slot_reduce_core(sup_p, q_p, u, idxf, oidx, sgn, radius2,
-                                splits, need_stats, interpret)
+        out = _slot_reduce_core(sup_p, q_p, u, qp, idxf, oidx, sgn,
+                                radius2, splits, need_stats, interpret)
     ext = out[..., :C]
     if not need_stats:
         return ext, None, None

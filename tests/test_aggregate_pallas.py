@@ -127,6 +127,52 @@ def test_vjp_multichunk(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_qp_moments_and_grads(rng):
+    """In-kernel h = u_slot − qp moments match the gather oracle, and the
+    custom VJP's host-side dqp matches autodiff."""
+    sup_p, q_p, u, idx = _mk(rng, C=12)
+    qp = jnp.asarray(rng.randn(2, 90, 12).astype(np.float32))
+    sgn = jnp.ones((12,), jnp.float32)
+
+    def oracle_h(u_, qp_):
+        B, M, K = idx.shape
+        slot = jnp.take_along_axis(
+            u_, idx.reshape(B, M * K)[..., None].astype(jnp.int32), axis=1
+        ).reshape(B, M, K, u_.shape[-1])
+        h = slot - qp_[:, :, None, :]
+        ext = sgn * jnp.max(sgn * slot, axis=2)     # ext stays in u-space
+        return ext, jnp.sum(h, axis=2), jnp.sum(h * h, axis=2)
+
+    ext, su, sq = grouped_slot_reduce(sup_p, q_p, u, idx, sgn,
+                                      radius=0.35, qp=qp, interpret=True)
+    we, ws, wq = oracle_h(u, qp)
+    np.testing.assert_allclose(np.asarray(ext), np.asarray(we),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(su), np.asarray(ws),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(wq),
+                               rtol=1e-5, atol=1e-5)
+
+    ge = jnp.asarray(rng.randn(2, 90, 12).astype(np.float32))
+    gs = jnp.asarray(rng.randn(2, 90, 12).astype(np.float32))
+    gq = jnp.asarray(rng.randn(2, 90, 12).astype(np.float32))
+
+    def down(outs):
+        e, s_, q_ = outs
+        return jnp.sum(e * ge) + jnp.sum(s_ * gs) + jnp.sum(q_ * gq)
+
+    gu_f, gqp_f = jax.grad(
+        lambda u_, qp_: down(grouped_slot_reduce(
+            sup_p, q_p, u_, idx, sgn, radius=0.35, qp=qp_,
+            interpret=True)), argnums=(0, 1))(u, qp)
+    gu_r, gqp_r = jax.grad(
+        lambda u_, qp_: down(oracle_h(u_, qp_)), argnums=(0, 1))(u, qp)
+    np.testing.assert_allclose(np.asarray(gu_f), np.asarray(gu_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gqp_f), np.asarray(gqp_r),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_eval_mode_skips_stats(rng):
     sup_p, q_p, u, idx = _mk(rng)
     sgn = jnp.ones((12,), jnp.float32)
@@ -265,6 +311,118 @@ def test_local_aggregation_fused_bf16(rng, _fused_mode):
     np.testing.assert_allclose(np.asarray(out_f, np.float32),
                                np.asarray(out_g, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_full_train_step_fused_matches_gather(rng, _fused_mode):
+    """The fused tail composes through the whole AA objective: one jitted
+    train step (fwd+bwd+adamw) from identical state matches the gather
+    path to float noise, and training continues finite."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models import CLS_ARGS, ENCODER_ARGS
+    from test_train_step import AARGS, _batch, _tx
+    from amcontrast3d_tpu.engine import create_train_state, make_train_step
+    from amcontrast3d_tpu.loss import CrossEntropyAce
+    from amcontrast3d_tpu.models import BaseSeg_AMContrast3D
+
+    # 4 stages / 512 points: the coarsest stage keeps 8 distinct points —
+    # a 1-point stage makes train-mode BN ill-conditioned (variance ~0 over
+    # repeated values) and rsqrt(var+eps) amplifies 1e-7 moment noise into
+    # O(0.1) output diffs on BOTH paths' fast-variance forms
+    enc_args = dict(ENCODER_ARGS, blocks=[1, 1, 1, 1], strides=[1, 4, 4, 4])
+    aargs = dict(AARGS, stages_num=3)
+    model = BaseSeg_AMContrast3D(encoder_args=enc_args,
+                                 decoder_args={"decoder_stages": 3},
+                                 cls_args=CLS_ARGS)
+    batch = _batch(rng, b=2, n=512)
+    tx = _tx()
+    rngk = jax.random.PRNGKey(1)
+
+    set_agg_fused("off")
+    state0 = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model, CrossEntropyAce(), tx, "aa", 13,
+                           None, aargs)
+    sg, mg = step(state0, batch, rngk)
+
+    set_agg_fused("on")
+    state0 = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
+    sf, mf = step(state0, batch, rngk)
+    np.testing.assert_allclose(float(mf["loss"]), float(mg["loss"]),
+                               rtol=1e-4)
+    # batch stats after the step must agree tightly (the closed-form
+    # GroupStatsBN statistics vs the grouped-tensor BN)
+    for x, y in zip(jax.tree_util.tree_leaves(sg.batch_stats),
+                    jax.tree_util.tree_leaves(sf.batch_stats)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-3, atol=1e-5)
+    # a second step from each path's own state stays loss-consistent
+    # (params are NOT compared element-wise: adamw's first-step update is
+    # sign-like, so float-noise grads legitimately flip tiny updates)
+    s2g, m2g = step(sg, batch, rngk)
+    s2f, m2f = step(sf, batch, rngk)
+    assert np.isfinite(float(m2f["loss"]))
+    np.testing.assert_allclose(float(m2f["loss"]), float(m2g["loss"]),
+                               rtol=5e-3)
+
+
+def test_sharded_step_fused_syncbn(rng, _fused_mode):
+    """GroupStatsBN's closed-form SyncBN (pmean of reconstructed stats)
+    under shard_map on the 8-device mesh: equal shards (one cloud tiled
+    8x) must track the single-device global-batch run."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models import CLS_ARGS, ENCODER_ARGS
+    from test_train_step import AARGS, _batch, _tx
+    from amcontrast3d_tpu.engine import (create_train_state,
+                                         make_sharded_train_step,
+                                         make_train_step)
+    from amcontrast3d_tpu.loss import CrossEntropyAce
+    from amcontrast3d_tpu.models import BaseSeg_AMContrast3D
+    from amcontrast3d_tpu.parallel import get_mesh, replicate, shard_batch
+
+    assert len(jax.devices()) == 8
+    mesh = get_mesh(8)
+    enc_args = dict(ENCODER_ARGS, blocks=[1, 1, 1], strides=[1, 4, 4])
+    # dropout off: the sharded path folds a per-shard rng key by design, so
+    # dropout draws can never match across topologies (same as the gather
+    # path's DDP equivalence test); 256 points keeps the coarsest stage
+    # (16 pts) away from degenerate-BN territory
+    cls_args = dict(CLS_ARGS, dropout=0.0)
+    aargs = dict(AARGS, stages_num=2)
+    one = _batch(rng, b=1, n=256)
+    batch = {k: jnp.tile(v, (8,) + (1,) * (v.ndim - 1))
+             for k, v in one.items()}
+    tx = _tx()
+    rngk = jax.random.PRNGKey(1)
+
+    set_agg_fused("on")
+    # single device, global batch (no axis name)
+    model1 = BaseSeg_AMContrast3D(encoder_args=enc_args,
+                                  decoder_args={"decoder_stages": 2},
+                                  cls_args=cls_args)
+    state1 = create_train_state(model1, tx, one, jax.random.PRNGKey(0))
+    step1 = make_train_step(model1, CrossEntropyAce(), tx, "aa", 13,
+                            None, aargs)
+    s1, m1 = step1(state1, batch, rngk)
+
+    # 8-way shard_map with SyncBN axis
+    model8 = BaseSeg_AMContrast3D(encoder_args=enc_args,
+                                  decoder_args={"decoder_stages": 2},
+                                  cls_args=cls_args, bn_axis_name="dp")
+    state8 = create_train_state(model8, tx, one, jax.random.PRNGKey(0))
+    state8 = replicate(state8, mesh)
+    step8 = make_sharded_train_step(
+        make_train_step(model8, CrossEntropyAce(), tx, "aa", 13, None,
+                        aargs, axis_name="dp"), mesh)
+    s8, m8 = step8(state8, shard_batch(batch, mesh),
+                   replicate(rngk, mesh))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=5e-4)
+    for x, y in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(s8.batch_stats))):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=5e-3, atol=5e-4)
 
 
 def test_param_tree_invariant(rng, _fused_mode):
