@@ -91,6 +91,11 @@ def main():
                          "the reference's AMP axis, main_AA.py:389-390) and "
                          "report the best-val delta vs the fp32 default — "
                          "the accuracy envelope for the bf16 perf lever")
+    ap.add_argument("--agg-fused", action="store_true",
+                    help="also train AA with AMC3D_AGG_FUSED=auto (the slot "
+                         "one-hot gather-reduce aggregation tail, "
+                         "docs/DEVIATIONS.md §14) and report the best-val "
+                         "delta vs the gather-path default")
     args = ap.parse_args()
 
     summary = {}
@@ -184,6 +189,28 @@ def main():
             print(f"[amp] bf16 best_val={amp_best:.2f} val_oa={amp_oa:.2f} vs "
                   f"fp32 {default_best:.2f} -> {'PASS' if amp_ok else 'FAIL'}")
             failed |= not amp_ok
+
+        if args.agg_fused:
+            cfg = os.path.join(REPO, "cfgs", "synthetic", "AMContrast3D-AA.yaml")
+            root = os.path.join(tmp, "aa_aggf")
+            res = run_phase("aa", ["--cfg", cfg, f"epochs={args.epochs}",
+                                   f"seed={args.seed}", f"root_dir={root}",
+                                   "val_freq=1", "dataset.train.loop=8",
+                                   "datatransforms.kwargs.color_drop=0.0",
+                                   *args.override], "aa_aggf_train", tmp,
+                            extra_env={"AMC3D_AGG_FUSED": "auto"})
+            aggf_best = float(res.get("best_val", 0.0))
+            aggf_oa = float(res.get("val_oa", 0.0))
+            default_best = float(summary.get("aa_train", {}).get("best_val", 0.0))
+            aggf_ok = aggf_best >= args.bar and aggf_oa >= args.oa_bar
+            summary["agg_fused_vs_gather"] = {
+                "agg_fused_best_val": aggf_best, "agg_fused_val_oa": aggf_oa,
+                "gather_best_val": default_best,
+                "delta": round(aggf_best - default_best, 3), "pass": aggf_ok}
+            print(f"[agg] fused best_val={aggf_best:.2f} val_oa={aggf_oa:.2f} "
+                  f"vs gather {default_best:.2f} -> "
+                  f"{'PASS' if aggf_ok else 'FAIL'}")
+            failed |= not aggf_ok
 
     summary["pass"] = not failed
     print(json.dumps(summary))
