@@ -180,6 +180,217 @@ def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
     return out.T
 
 
+# ---------------------------------------------------------------------------
+# chunk-pruned B==1 variant (whole-room eval rungs)
+#
+# The dense B==1 kernel scans all N points every iteration (~17-34 µs/iter
+# at 884k) even though a new sample only lowers min-distances within its
+# shrinking coverage radius.  This variant kd-sorts the cloud into
+# contiguous-slab chunks (same machinery as ops/contrast_pallas) and keeps
+# per-chunk running stats (max min-distance + its argmin-index); each
+# iteration then
+#   * skips every chunk whose bbox lower-bound distance to the new sample
+#     is >= its current max min-distance (those chunks provably cannot
+#     change — conservative 1e-6 slack keeps the skip exact under float
+#     rounding), and
+#   * takes the global argmax from the per-chunk stats instead of a full
+#     N-scan.
+# Min-distance VALUES are bit-identical to the dense kernel (same formula,
+# same operands, update skipping is exact), and ties break by lowest
+# ORIGINAL index exactly as the dense kernel / CUDA scan order
+# (sampling_gpu.cu:101-160) — the kd order only changes which lanes hold
+# which point.  Steady state visits O(1) chunks -> 5-10x fewer VPU ops at
+# ladder scale.  Dispatch is env-gated (AMC3D_FPS_PRUNED) until
+# device-validated.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_PRUNED = _os.environ.get("AMC3D_FPS_PRUNED", "off")   # off | auto | on
+_PRUNED_MIN_N = int(_os.environ.get("AMC3D_FPS_PRUNED_MIN", "262144"))
+_PRUNE_CS = int(_os.environ.get("AMC3D_FPS_PRUNE_CS", "32768"))
+_BIG = 3e38
+
+
+def set_fps_pruned(mode: str):
+    global _PRUNED
+    assert mode in ("off", "auto", "on")
+    _PRUNED = mode
+
+
+def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
+                       mind_in_ref, last_in_ref, first_ref, slack_ref,
+                       out_ref, mind_ref, last_ref, stats_ref, *, to: int,
+                       n_chunks: int, rpc: int, L: int):
+    """stats_ref rows: lane0 = cmax, lane1 = carg (original idx, float),
+    lane2 = cspos (sorted position, float).  mind/last are aliased i/o;
+    stats are scratch, rebuilt at the start of every pallas call."""
+    i = pl.program_id(0)
+    lane8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    E0 = (lane8 == 0).astype(jnp.float32)
+    E1 = (lane8 == 1).astype(jnp.float32)
+    E2 = (lane8 == 2).astype(jnp.float32)
+    lane128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    R0 = (lane128 == 0).astype(jnp.float32)
+    R1 = (lane128 == 1).astype(jnp.float32)
+    R2 = (lane128 == 2).astype(jnp.float32)
+    lane_iota = lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    sub_iota = lax.broadcasted_iota(jnp.float32, (rpc, L), 0)
+    lan_iota = lax.broadcasted_iota(jnp.float32, (rpc, L), 1)
+
+    def chunk_stats(c):
+        rs = pl.ds(c * rpc, rpc)
+        mn = mind_ref[rs, :]
+        cmax = jnp.max(mn)
+        om = oidx_ref[rs, :]
+        corig = jnp.min(jnp.where(mn == cmax, om, _BIG))
+        base = (c * rpc).astype(jnp.float32) * L
+        sposf = base + sub_iota * L + lan_iota
+        cspos = jnp.min(jnp.where((mn == cmax) & (om == corig), sposf,
+                                  _BIG))
+        stats_ref[pl.ds(c, 1), :] = (cmax * R0 + corig * R1 + cspos * R2)
+
+    @pl.when(i == 0)
+    def _rebuild():
+        stats_ref[:] = jnp.broadcast_to(-2.0 * R0, stats_ref.shape)
+
+        def body0(c, _):
+            chunk_stats(c)
+            return 0
+        lax.fori_loop(0, n_chunks, body0, 0)
+
+    @pl.when(jnp.logical_and(i == 0, first_ref[0, 0] == 1))
+    def _first():
+        out_ref[0, :] = jnp.zeros((1,), dtype=jnp.int32)
+
+    def body(r, last_spos):
+        # coords of the previously selected point (sorted position)
+        lrow = last_spos // L
+        lcol = last_spos % L
+        oh = (lane_iota == lcol).astype(jnp.float32)
+        px = jnp.sum(x_ref[pl.ds(lrow, 1), :] * oh)
+        py = jnp.sum(y_ref[pl.ds(lrow, 1), :] * oh)
+        pz = jnp.sum(z_ref[pl.ds(lrow, 1), :] * oh)
+        pv = px * E0 + py * E1 + pz * E2
+
+        slack = slack_ref[0, 0]
+        def upd(c, _):
+            lo = blo_ref[pl.ds(c, 1), :]
+            hi = bhi_ref[pl.ds(c, 1), :]
+            d = jnp.maximum(jnp.maximum(lo - pv, pv - hi), 0.0)
+            lb2 = jnp.sum(d * d)
+            cmax = jnp.sum(stats_ref[pl.ds(c, 1), 0:1])
+
+            # conservative skip: fp32 error on d² is ABSOLUTE in the
+            # coordinate magnitude (|coord|²·eps), so an extent-derived
+            # absolute slack — not a relative one — guarantees that a
+            # skipped chunk can contain no point whose computed d² falls
+            # below its min-distance (bit-equality with the dense kernel)
+            @pl.when(lb2 - slack < cmax)
+            def _():
+                rs = pl.ds(c * rpc, rpc)
+                d2 = ((x_ref[rs, :] - px) ** 2 + (y_ref[rs, :] - py) ** 2
+                      + (z_ref[rs, :] - pz) ** 2)
+                mn = jnp.minimum(mind_ref[rs, :], d2)
+                mind_ref[rs, :] = mn
+                chunk_stats(c)
+            return 0
+
+        lax.fori_loop(0, n_chunks, upd, 0)
+
+        S = stats_ref[:]
+        gmax = jnp.max(S[:, 0:1])
+        eq = S[:, 0:1] == gmax
+        nxt_orig = jnp.min(jnp.where(eq, S[:, 1:2], _BIG))
+        nxt_spos = jnp.min(jnp.where(
+            eq & (S[:, 1:2] == nxt_orig), S[:, 2:3], _BIG))
+        out_ref[pl.ds(r, 1), :] = nxt_orig.astype(jnp.int32).reshape(1, 1)
+        return nxt_spos.astype(jnp.int32)
+
+    start = jnp.where(jnp.logical_and(i == 0, first_ref[0, 0] == 1), 1, 0)
+    # aliased out ref holds the input value on entry; _in ref never read
+    last = lax.fori_loop(start, to, body, last_ref[0, 0], unroll=False)
+    last_ref[:] = last.reshape(1, 1)
+
+
+def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
+    from .contrast_pallas import _kd_sort
+
+    csp = _PRUNE_CS
+    n_chunks = -(-N // csp)
+    n_pad = n_chunks * csp
+    L = max(128, min(2048, csp // 8))
+    assert csp % L == 0
+    rpc = csp // L
+    R = n_pad // L
+
+    xyz = jnp.stack([x[0], y[0], z[0]], axis=-1)[None]       # (1, N, 3)
+    ps, perm, inv = _kd_sort(xyz, n_pad, csp)
+    ps, perm = ps[0], perm[0].astype(jnp.float32)            # (N, 3), (N,)
+    if n_pad > N:
+        ps = jnp.concatenate(
+            [ps, jnp.broadcast_to(ps[N - 1:N], (n_pad - N, 3))], axis=0)
+        perm = jnp.concatenate(
+            [perm, jnp.full((n_pad - N,), -1.0, jnp.float32)])
+    bb = ps.reshape(n_chunks, csp, 3)
+    ncp = -(-n_chunks // 8) * 8
+    blo = jnp.zeros((ncp, 8), jnp.float32).at[:n_chunks, :3].set(
+        jnp.min(bb, axis=1))
+    bhi = jnp.zeros((ncp, 8), jnp.float32).at[:n_chunks, :3].set(
+        jnp.max(bb, axis=1))
+    xs = ps[:, 0].reshape(R, L)
+    ys = ps[:, 1].reshape(R, L)
+    zs = ps[:, 2].reshape(R, L)
+    oidx = perm.reshape(R, L)
+    mind = jnp.where(oidx >= 0.0, _INF, -1.0).astype(jnp.float32)
+    last = inv[0, 0:1].reshape(1, 1).astype(jnp.int32)       # spos of orig 0
+    # absolute fp32 slack for the skip bound: ~32 ulp at the squared
+    # coordinate magnitude (see kernel comment)
+    m = jnp.maximum(jnp.max(jnp.abs(ps)), 1.0)
+    slack = (32.0 * 1.2e-7 * m * m).reshape(1, 1).astype(jnp.float32)
+
+    outer = int(_B1_OPS_BUDGET // max(n_pad, 1))
+    outer = max(_TO, (outer // _TO) * _TO)
+    outs = []
+    done = 0
+    while done < npoint:
+        cnt = min(outer, npoint - done)
+        to = cnt if cnt <= 4 * _TO else _TO
+        n_steps = -(-cnt // to)
+        first = jnp.full((1, 1), 1 if done == 0 else 0, jnp.int32)
+        idx, mind, last = pl.pallas_call(
+            functools.partial(_fps_kernel_pruned, to=to, n_chunks=n_chunks,
+                              rpc=rpc, L=L),
+            grid=(n_steps,),
+            out_shape=[jax.ShapeDtypeStruct((n_steps * to, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((R, L), jnp.float32),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+            in_specs=[pl.BlockSpec((R, L), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)] * 4
+                     + [pl.BlockSpec((ncp, 8), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)] * 2
+                     + [pl.BlockSpec((R, L), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec((to, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((R, L), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)],
+            input_output_aliases={6: 1, 7: 2},
+            scratch_shapes=[pltpu.VMEM((ncp, 128), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(xs, ys, zs, oidx, blo, bhi, mind, last, first, slack)
+        outs.append(idx[:cnt])
+        done += cnt
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.T
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                                  interpret: bool = False) -> jnp.ndarray:
@@ -188,6 +399,10 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
     planes = xyz.transpose(2, 0, 1)  # (3, B, N)
     x, y, z = planes[0], planes[1], planes[2]
     if B == 1:
+        if (_PRUNED == "on"
+                or (_PRUNED == "auto" and N >= _PRUNED_MIN_N
+                    and N >= 2 * _PRUNE_CS)):
+            return _fps_b1_pruned(x, y, z, N, npoint, interpret)
         return _fps_b1(x, y, z, N, npoint, interpret)
     kernel = functools.partial(_fps_kernel, npoint=npoint)
     out = pl.pallas_call(

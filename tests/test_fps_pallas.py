@@ -68,3 +68,33 @@ def test_pallas_fps_b1_multirow_layout(rng, monkeypatch):
     a = np.asarray(furthest_point_sample(xyz, 64))
     b = np.asarray(FP.furthest_point_sample_pallas(xyz, 64, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fps_b1_pruned_matches_lax(rng, monkeypatch):
+    """Chunk-pruned B==1 sampler: kd-chunk skipping is provably exact (the
+    conservative absolute slack forbids wrong skips), so indices must be
+    bit-identical to the lax path."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(FP, "_PRUNE_CS", 512)
+    monkeypatch.setattr(FP, "_PRUNED", "on")
+    xyz = jnp.asarray(rng.rand(1, 3000, 3).astype(np.float32) * 5)
+    a = np.asarray(furthest_point_sample(xyz, 600))
+    planes = xyz.transpose(2, 0, 1)
+    b = np.asarray(FP._fps_b1_pruned(planes[0], planes[1], planes[2],
+                                     3000, 600, True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fps_b1_pruned_ragged_multicall(rng, monkeypatch):
+    """Ragged N (pad rows never selected) + multi-call splitting with the
+    aliased (mind, last) state and per-call stats rebuild."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(FP, "_PRUNE_CS", 512)
+    monkeypatch.setattr(FP, "_B1_OPS_BUDGET", 1.0)
+    monkeypatch.setattr(FP, "_TO", 64)
+    xyz = jnp.asarray(rng.rand(1, 2791, 3).astype(np.float32) * 5)
+    a = np.asarray(furthest_point_sample(xyz, 300))
+    planes = xyz.transpose(2, 0, 1)
+    b = np.asarray(FP._fps_b1_pruned(planes[0], planes[1], planes[2],
+                                     2791, 300, True))
+    np.testing.assert_array_equal(a, b)
