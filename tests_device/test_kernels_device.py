@@ -161,3 +161,33 @@ def test_fps_compiled_valid_and_equivalent(rng):
 
         cg, cw = coverage(got[b]), coverage(want[b])
         assert cg <= cw * 1.05 + 1e-6, (cg, cw)
+
+
+def test_fps_pruned_compiled_valid_and_equivalent(rng):
+    """Chunk-pruned B==1 FPS on device: same invariant bars as the dense
+    kernel (bit-equality breaks on FMA scheduling), plus coverage parity
+    against the DENSE compiled kernel at an eval-ladder-like size."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    N, npoint = 262144, 4096
+    xyz = _clouds(rng, 1, N, scale=8.0)
+    planes = xyz.transpose(2, 0, 1)
+    got = np.asarray(jax.block_until_ready(FP._fps_b1_pruned(
+        planes[0], planes[1], planes[2], N, npoint, False)))
+    dense = np.asarray(jax.block_until_ready(FP._fps_b1(
+        planes[0], planes[1], planes[2], N, npoint, False)))
+    assert got[0, 0] == 0
+    assert len(set(got[0].tolist())) == npoint, "repeated FPS picks"
+    assert (got >= 0).all() and (got < N).all()
+    xyz_np = np.asarray(xyz)[0]
+
+    def coverage(sel):
+        # max-min distance of the selection, chunked to bound memory
+        best = np.full(N, np.inf, np.float32)
+        pts = xyz_np[sel]
+        for s in range(0, npoint, 512):
+            d = ((xyz_np[:, None, :] - pts[None, s:s + 512, :]) ** 2).sum(-1)
+            best = np.minimum(best, d.min(axis=1))
+        return best.max()
+
+    cg, cd = coverage(got[0]), coverage(dense[0])
+    assert cg <= cd * 1.05 + 1e-6, (cg, cd)
