@@ -98,10 +98,12 @@ def agg_fused_enabled() -> bool:
 
 def agg_fused_fits(n: int, c: int, k: int) -> bool:
     """VMEM residency bound: support buf + du block + slot scratch must fit
-    (large-N whole-room eval keeps the streamed gather tail instead)."""
+    (large-N whole-room eval keeps the streamed gather tail instead).
+    The buf's C+4 columns lane-pad to C+128 (f32 VMEM arrays pad the lane
+    dim to a 128 multiple), so the aux columns cost a full 128 lanes."""
     cp = -(-c // 128) * 128
     _, tq, n_pad, _ = _agg_shapes(8, n)
-    need = n_pad * (2 * cp + 4) * 4 + k * TQ * cp * 4
+    need = n_pad * (2 * cp + 128) * 4 + k * TQ * cp * 4
     return need <= 64 * 1024 * 1024
 
 
