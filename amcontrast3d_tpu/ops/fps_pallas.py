@@ -235,8 +235,9 @@ def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
     R1 = (lane128 == 1).astype(jnp.float32)
     R2 = (lane128 == 2).astype(jnp.float32)
     lane_iota = lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    sub_iota = lax.broadcasted_iota(jnp.float32, (rpc, L), 0)
-    lan_iota = lax.broadcasted_iota(jnp.float32, (rpc, L), 1)
+    # Mosaic rejects float-typed tpu.iota — build int32 and cast
+    sub_iota = lax.broadcasted_iota(jnp.int32, (rpc, L), 0).astype(jnp.float32)
+    lan_iota = lax.broadcasted_iota(jnp.int32, (rpc, L), 1).astype(jnp.float32)
 
     def chunk_stats(c):
         rs = pl.ds(c * rpc, rpc)

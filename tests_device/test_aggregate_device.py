@@ -44,17 +44,22 @@ def test_slot_reduce_compiled(rng):
         return (jnp.sum(ext * ge) + jnp.sum(su * gs)
                 + jnp.sum(sq * gq)), (ext, su, sq)
 
-    def run_fused(u_):
-        return down(grouped_slot_reduce(sup_p, q_p, u_, idx, sgn,
+    # positions/idx MUST be jit arguments, not closed-over constants: the
+    # remote-TPU platform miscompiles gathers whose operands are baked-in
+    # XLA literals (~97% wrong elements on the morton-permuted idx gather),
+    # while the traced path — what the real train step runs — is exact.
+    # See docs/DEVIATIONS.md §14.
+    def run_fused(u_, sup_p_, q_p_, idx_):
+        return down(grouped_slot_reduce(sup_p_, q_p_, u_, idx_, sgn,
                                         radius=radius))
 
-    def run_ref(u_):
-        return down(_oracle(u_, idx, sgn))
+    def run_ref(u_, sup_p_, q_p_, idx_):
+        return down(_oracle(u_, idx_, sgn))
 
     (lf, (ext_f, su_f, sq_f)), gf = jax.jit(
-        jax.value_and_grad(run_fused, has_aux=True))(u)
+        jax.value_and_grad(run_fused, has_aux=True))(u, sup_p, q_p, idx)
     (lr, (ext_r, su_r, sq_r)), gr = jax.jit(
-        jax.value_and_grad(run_ref, has_aux=True))(u)
+        jax.value_and_grad(run_ref, has_aux=True))(u, sup_p, q_p, idx)
 
     np.testing.assert_allclose(np.asarray(ext_f), np.asarray(ext_r),
                                rtol=1e-5, atol=1e-5)
@@ -84,19 +89,21 @@ def test_model_tail_compiled(rng):
     variables = mod.init(jax.random.PRNGKey(0), p, f, training=False)
     tgt = jnp.asarray(rng.randn(2, 4096, 64).astype(np.float32))
 
-    def loss(params):
+    # p/f as jit ARGUMENTS (constant-fed gathers miscompile on this
+    # platform — see test_slot_reduce_compiled / DEVIATIONS §14)
+    def loss(params, p_, f_):
         out, st = mod.apply(
             {"params": params, "batch_stats": variables["batch_stats"]},
-            p, f, training=True, mutable=["batch_stats"])
+            p_, f_, training=True, mutable=["batch_stats"])
         return jnp.mean((out - tgt) ** 2), (out, st)
 
     try:
         set_agg_fused("off")
         (lg, (og, sg)), gg = jax.jit(
-            jax.value_and_grad(loss, has_aux=True))(variables["params"])
+            jax.value_and_grad(loss, has_aux=True))(variables["params"], p, f)
         set_agg_fused("on")
         (lf, (of, sf)), gf = jax.jit(
-            jax.value_and_grad(loss, has_aux=True))(variables["params"])
+            jax.value_and_grad(loss, has_aux=True))(variables["params"], p, f)
     finally:
         set_agg_fused("off")
 
