@@ -79,7 +79,15 @@ def _fps_kernel_r8(x_ref, y_ref, z_ref, mind_in_ref, last_in_ref, first_ref,
     arrays (input_output_aliases) so state persists across the host-side
     call splits without doubling the VMEM footprint — whole-room rungs
     past ~850k points fault the chip on larger footprints.  The aliased
-    out refs hold the input values on entry; the _in refs are never read."""
+    out refs hold the input values on entry; the _in refs are never read.
+
+    The carry between iterations/calls is the selected point's
+    COORDINATES in an (8, 128) f32 tile (sublanes 0-2, lane 0) — device
+    bisection r3 found that a (1, 1) int32 aliased ref does NOT hold the
+    input value on entry on this platform (reads garbage → the onehot
+    matched nothing and every call re-seeded FPS from the ORIGIN); full
+    f32 tiles alias correctly, and carrying coords also drops the 3
+    full-array one-hot extraction passes per iteration."""
     R, N8 = x_ref.shape
     i = pl.program_id(0)
     col = (lax.broadcasted_iota(jnp.int32, (R, N8), 0) * N8
@@ -92,23 +100,25 @@ def _fps_kernel_r8(x_ref, y_ref, z_ref, mind_in_ref, last_in_ref, first_ref,
 
     x, y, z = x_ref[:], y_ref[:], z_ref[:]
 
-    def body(r, last):
-        onehot = (col == last).astype(jnp.float32)
-        px = jnp.sum(x * onehot)
-        py = jnp.sum(y * onehot)
-        pz = jnp.sum(z * onehot)
+    def body(r, carry):
+        px, py, pz = carry
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
         mind = jnp.minimum(mind_ref[:], jnp.where(mind_ref[:] < 0.0, -1.0, d))
         mind_ref[:] = mind
         m = jnp.max(mind)
         cand = jnp.where(mind == m, col, n_real)
         nxt = jnp.min(cand).astype(jnp.int32)
+        nsel = jnp.where((mind == m) & (col == nxt), 1.0, 0.0)
         out_ref[pl.ds(r, 1), :] = nxt.reshape(1, 1)
-        return nxt
+        return (jnp.sum(x * nsel), jnp.sum(y * nsel), jnp.sum(z * nsel))
 
     start = jnp.where(jnp.logical_and(i == 0, first_ref[0, 0] == 1), 1, 0)
-    last = lax.fori_loop(start, to, body, last_ref[0, 0], unroll=False)
-    last_ref[:] = last.reshape(1, 1)
+    init = (last_ref[0, 0], last_ref[1, 0], last_ref[2, 0])
+    px, py, pz = lax.fori_loop(start, to, body, init, unroll=False)
+    row8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    last_ref[:, 0:1] = jnp.where(row8 == 0, px,
+                                 jnp.where(row8 == 1, py,
+                                           jnp.where(row8 == 2, pz, 0.0)))
 
 
 # per-call iteration budget: keep each Mosaic call to ~1-2 s on v5e
@@ -139,7 +149,10 @@ def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
     col = (jnp.arange(rows, dtype=jnp.int32)[:, None] * n8
            + jnp.arange(n8, dtype=jnp.int32)[None, :])
     mind = jnp.where(col < N, _INF, -1.0).astype(jnp.float32)
-    last = jnp.zeros((1, 1), jnp.int32)
+    # (8, 128) f32 coord-carry tile seeded with point 0 (see kernel note)
+    last = (jnp.zeros((8, 128), jnp.float32)
+            .at[0, 0].set(x[0, 0]).at[1, 0].set(y[0, 0])
+            .at[2, 0].set(z[0, 0]))
 
     outs = []
     done = 0
@@ -154,12 +167,12 @@ def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
             grid=(n_steps,),
             out_shape=[jax.ShapeDtypeStruct((n_steps * to, 1), jnp.int32),
                        jax.ShapeDtypeStruct((rows, n8), jnp.float32),
-                       jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+                       jax.ShapeDtypeStruct((8, 128), jnp.float32)],
             in_specs=[pl.BlockSpec((rows, n8), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)] * 3
                      + [pl.BlockSpec((rows, n8), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
-                        pl.BlockSpec((1, 1), lambda i: (0, 0),
+                        pl.BlockSpec((8, 128), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((1, 1), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)],
@@ -167,7 +180,7 @@ def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((rows, n8), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, 1), lambda i: (0, 0),
+                       pl.BlockSpec((8, 128), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)],
             input_output_aliases={3: 1, 4: 2},
             compiler_params=pltpu.CompilerParams(
@@ -223,8 +236,18 @@ def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
                        out_ref, mind_ref, last_ref, stats_ref, *, to: int,
                        n_chunks: int, rpc: int, L: int):
     """stats_ref rows: lane0 = cmax, lane1 = carg (original idx, float),
-    lane2 = cspos (sorted position, float).  mind/last are aliased i/o;
-    stats are scratch, rebuilt at the start of every pallas call."""
+    lanes2-4 = the candidate point's coordinates.  mind/last are aliased
+    i/o; stats are scratch, rebuilt at the start of every pallas call.
+
+    The previously selected point's COORDINATES ride in the fori carry and
+    the aliased ``last`` row (sublanes 0-2, lane 0) rather than being
+    re-read from the coordinate planes at a carry-derived row: a dynamic
+    sublane slice whose start comes from the loop carry hard-faults the
+    chip on this platform (device-bisected r3 — loop-INDEX-derived slices
+    and the full-array one-hot extraction are both fine, carry-derived
+    starts are not).  Selecting the winner's coords from the (ncp, 128)
+    stats table costs O(n_chunks) instead of the O(N) one-hot scan the
+    dense kernel pays, preserving the pruned kernel's point."""
     i = pl.program_id(0)
     lane8 = lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     E0 = (lane8 == 0).astype(jnp.float32)
@@ -234,10 +257,8 @@ def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
     R0 = (lane128 == 0).astype(jnp.float32)
     R1 = (lane128 == 1).astype(jnp.float32)
     R2 = (lane128 == 2).astype(jnp.float32)
-    lane_iota = lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    # Mosaic rejects float-typed tpu.iota — build int32 and cast
-    sub_iota = lax.broadcasted_iota(jnp.int32, (rpc, L), 0).astype(jnp.float32)
-    lan_iota = lax.broadcasted_iota(jnp.int32, (rpc, L), 1).astype(jnp.float32)
+    R3 = (lane128 == 3).astype(jnp.float32)
+    R4 = (lane128 == 4).astype(jnp.float32)
 
     def chunk_stats(c):
         rs = pl.ds(c * rpc, rpc)
@@ -245,11 +266,14 @@ def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
         cmax = jnp.max(mn)
         om = oidx_ref[rs, :]
         corig = jnp.min(jnp.where(mn == cmax, om, _BIG))
-        base = (c * rpc).astype(jnp.float32) * L
-        sposf = base + sub_iota * L + lan_iota
-        cspos = jnp.min(jnp.where((mn == cmax) & (om == corig), sposf,
-                                  _BIG))
-        stats_ref[pl.ds(c, 1), :] = (cmax * R0 + corig * R1 + cspos * R2)
+        # exactly one element matches (original indices are unique per
+        # chunk), so the masked sums read the candidate's coordinates
+        mf = jnp.where((mn == cmax) & (om == corig), 1.0, 0.0)
+        cx = jnp.sum(x_ref[rs, :] * mf)
+        cy = jnp.sum(y_ref[rs, :] * mf)
+        cz = jnp.sum(z_ref[rs, :] * mf)
+        stats_ref[pl.ds(c, 1), :] = (cmax * R0 + corig * R1
+                                     + cx * R2 + cy * R3 + cz * R4)
 
     @pl.when(i == 0)
     def _rebuild():
@@ -264,14 +288,8 @@ def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
     def _first():
         out_ref[0, :] = jnp.zeros((1,), dtype=jnp.int32)
 
-    def body(r, last_spos):
-        # coords of the previously selected point (sorted position)
-        lrow = last_spos // L
-        lcol = last_spos % L
-        oh = (lane_iota == lcol).astype(jnp.float32)
-        px = jnp.sum(x_ref[pl.ds(lrow, 1), :] * oh)
-        py = jnp.sum(y_ref[pl.ds(lrow, 1), :] * oh)
-        pz = jnp.sum(z_ref[pl.ds(lrow, 1), :] * oh)
+    def body(r, carry):
+        px, py, pz = carry
         pv = px * E0 + py * E1 + pz * E2
 
         slack = slack_ref[0, 0]
@@ -303,15 +321,23 @@ def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
         gmax = jnp.max(S[:, 0:1])
         eq = S[:, 0:1] == gmax
         nxt_orig = jnp.min(jnp.where(eq, S[:, 1:2], _BIG))
-        nxt_spos = jnp.min(jnp.where(
-            eq & (S[:, 1:2] == nxt_orig), S[:, 2:3], _BIG))
+        # winner row: cmax==gmax AND carg==nxt_orig — unique, since original
+        # indices are disjoint across chunks
+        wsel = jnp.where(eq & (S[:, 1:2] == nxt_orig), 1.0, 0.0)
+        nx = jnp.sum(wsel * S[:, 2:3])
+        ny = jnp.sum(wsel * S[:, 3:4])
+        nz = jnp.sum(wsel * S[:, 4:5])
         out_ref[pl.ds(r, 1), :] = nxt_orig.astype(jnp.int32).reshape(1, 1)
-        return nxt_spos.astype(jnp.int32)
+        return (nx, ny, nz)
 
     start = jnp.where(jnp.logical_and(i == 0, first_ref[0, 0] == 1), 1, 0)
     # aliased out ref holds the input value on entry; _in ref never read
-    last = lax.fori_loop(start, to, body, last_ref[0, 0], unroll=False)
-    last_ref[:] = last.reshape(1, 1)
+    init = (last_ref[0, 0], last_ref[1, 0], last_ref[2, 0])
+    px, py, pz = lax.fori_loop(start, to, body, init, unroll=False)
+    row8 = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    last_ref[:, 0:1] = jnp.where(row8 == 0, px,
+                                 jnp.where(row8 == 1, py,
+                                           jnp.where(row8 == 2, pz, 0.0)))
 
 
 def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
@@ -344,7 +370,10 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
     zs = ps[:, 2].reshape(R, L)
     oidx = perm.reshape(R, L)
     mind = jnp.where(oidx >= 0.0, _INF, -1.0).astype(jnp.float32)
-    last = inv[0, 0:1].reshape(1, 1).astype(jnp.int32)       # spos of orig 0
+    # coords of original point 0 (the first FPS pick) seed the carry row
+    last = (jnp.zeros((8, 128), jnp.float32)
+            .at[0, 0].set(x[0, 0]).at[1, 0].set(y[0, 0])
+            .at[2, 0].set(z[0, 0]))
     # absolute fp32 slack for the skip bound: ~32 ulp at the squared
     # coordinate magnitude (see kernel comment)
     m = jnp.maximum(jnp.max(jnp.abs(ps)), 1.0)
@@ -365,20 +394,22 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
             grid=(n_steps,),
             out_shape=[jax.ShapeDtypeStruct((n_steps * to, 1), jnp.int32),
                        jax.ShapeDtypeStruct((R, L), jnp.float32),
-                       jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+                       jax.ShapeDtypeStruct((8, 128), jnp.float32)],
             in_specs=[pl.BlockSpec((R, L), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)] * 4
                      + [pl.BlockSpec((ncp, 8), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)] * 2
                      + [pl.BlockSpec((R, L), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
+                     + [pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
                      + [pl.BlockSpec((1, 1), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM)] * 3,
+                                     memory_space=pltpu.VMEM)] * 2,
             out_specs=[pl.BlockSpec((to, 1), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((R, L), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((1, 1), lambda i: (0, 0),
+                       pl.BlockSpec((8, 128), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)],
             input_output_aliases={6: 1, 7: 2},
             scratch_shapes=[pltpu.VMEM((ncp, 128), jnp.float32)],

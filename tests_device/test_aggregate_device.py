@@ -48,7 +48,7 @@ def test_slot_reduce_compiled(rng):
     # remote-TPU platform miscompiles gathers whose operands are baked-in
     # XLA literals (~97% wrong elements on the morton-permuted idx gather),
     # while the traced path — what the real train step runs — is exact.
-    # See docs/DEVIATIONS.md §14.
+    # See docs/DEVIATIONS.md §15.
     def run_fused(u_, sup_p_, q_p_, idx_):
         return down(grouped_slot_reduce(sup_p_, q_p_, u_, idx_, sgn,
                                         radius=radius))
@@ -89,21 +89,25 @@ def test_model_tail_compiled(rng):
     variables = mod.init(jax.random.PRNGKey(0), p, f, training=False)
     tgt = jnp.asarray(rng.randn(2, 4096, 64).astype(np.float32))
 
-    # p/f as jit ARGUMENTS (constant-fed gathers miscompile on this
-    # platform — see test_slot_reduce_compiled / DEVIATIONS §14)
-    def loss(params, p_, f_):
+    # EVERY array is a jit ARGUMENT — constant-fed (closed-over) operands
+    # miscompile gathers on this platform; even a closed-over batch_stats
+    # dict reproduced the corruption (see test_slot_reduce_compiled /
+    # DEVIATIONS §15)
+    def loss(params, bs, p_, f_):
         out, st = mod.apply(
-            {"params": params, "batch_stats": variables["batch_stats"]},
+            {"params": params, "batch_stats": bs},
             p_, f_, training=True, mutable=["batch_stats"])
         return jnp.mean((out - tgt) ** 2), (out, st)
 
     try:
         set_agg_fused("off")
         (lg, (og, sg)), gg = jax.jit(
-            jax.value_and_grad(loss, has_aux=True))(variables["params"], p, f)
+            jax.value_and_grad(loss, has_aux=True))(
+                variables["params"], variables["batch_stats"], p, f)
         set_agg_fused("on")
         (lf, (of, sf)), gf = jax.jit(
-            jax.value_and_grad(loss, has_aux=True))(variables["params"], p, f)
+            jax.value_and_grad(loss, has_aux=True))(
+                variables["params"], variables["batch_stats"], p, f)
     finally:
         set_agg_fused("off")
 
