@@ -491,8 +491,16 @@ def grouped_slot_reduce(sup_p, q_p, u, idx, sgn, radius=None,
     if splits is None:
         splits = 1 if u.dtype == jnp.bfloat16 else _SPLITS
     radius2 = None if radius is None else float(radius) ** 2
+    # materialize the operands: without this, the grad-mode XLA program
+    # feeds the kernel (and its residuals) from a re-fused recompute of the
+    # producing convs whose values differ at bf16 magnitude from the plain
+    # forward's (device-bisected r3: plain fwd exact vs gather path, fwd
+    # under value_and_grad off by ~3e-2 max; barrier → bit-exact again)
+    sup_p, q_p, u = jax.lax.optimization_barrier((sup_p, q_p, u))
     if qp is None:
         qp = jnp.zeros((B, M, C), jnp.float32)
+    else:
+        qp = jax.lax.optimization_barrier(qp)
     # lane-pad channels to a 128 multiple (padded cols are zero and get
     # sliced off)
     Cp = -(-C // 128) * 128

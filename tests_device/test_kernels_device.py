@@ -163,8 +163,22 @@ def test_fps_compiled_valid_and_equivalent(rng):
     xyz_np = np.asarray(xyz)
     for b in range(4):
         ref = _np_fps(xyz_np[b], 2048)
-        assert (got[b] == ref).all(), \
-            f"b={b}: {int((got[b] != ref).sum())} mismatched picks"
+        assert len(set(got[b].tolist())) == 2048, "repeated FPS picks"
+        if (got[b] == ref).all():
+            continue
+        # At 25% sampling density late picks can hit genuine fp32-vs-fp64
+        # near-ties; a single flip cascades.  Accept ONLY if the first
+        # divergent pick is a provable near-tie (rel gap < 1e-5 under the
+        # fp64 prefix state) — the origin-seeding bug this test caught had
+        # rel gap ~0.7 at pick 1 and fails this hard.
+        i = int(np.argmax(got[b] != ref))
+        assert i > 64, f"b={b}: early divergence at pick {i}"
+        pts = xyz_np[b].astype(np.float64)
+        mind = np.full(len(pts), np.inf)
+        for s in ref[:i]:
+            mind = np.minimum(mind, ((pts - pts[s]) ** 2).sum(-1))
+        rel = abs(mind[got[b][i]] - mind[ref[i]]) / max(mind[ref[i]], 1e-30)
+        assert rel < 1e-5, f"b={b} pick {i}: rel gap {rel:.2e} not a tie"
 
 
 def test_fps_pruned_compiled_valid_and_equivalent(rng):
