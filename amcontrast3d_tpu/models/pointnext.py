@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import (clamp_members_valid, create_grouper, furthest_point_sample, gather_points,
@@ -245,8 +246,14 @@ class LocalAggregation(nn.Module):
         # W_f·f once per point, then gather the projected features
         hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                       name="w_f")(f)
+        # fp32 precision: the fused tail forms the dp contribution as
+        # W·p_j − W·p_i — at default (bf16-input) precision each term
+        # carries ~4e-3·|W·p| rounding and the difference swamps the
+        # |W·dp| ≤ radius·|W| signal (measured 3e-2 divergence vs the
+        # gather tail's W·(p_j−p_i)); fp32 makes the cancellation benign
+        # (~1e-7) at negligible cost (one (N,3)@(3,C) matmul per block)
         dp_dense = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
-                            name="w_dp")
+                            name="w_dp", precision=jax.lax.Precision.HIGHEST)
         act = create_act(self.act_args) if self.last_act else None
         dp_scale = (grouper.radius if grouper.normalize_dp
                     and grouper.method == "ballquery" else None)
@@ -383,8 +390,11 @@ class SetAbstraction(nn.Module):
             gidx = clamp_members_valid(gidx, n_valid)
             hf = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
                           name="w_f")(f)
+            # fp32: see LocalAggregation — the fused tail's W·p_j − W·p_i
+            # cancellation needs better-than-bf16 terms
             dp_dense = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
-                                name="w_dp")
+                                name="w_dp",
+                                precision=jax.lax.Precision.HIGHEST)
             act = None if use_res else create_act(self.act_args)
             dp_scale = (grouper.radius if grouper.normalize_dp
                         and grouper.method == "ballquery" else None)
