@@ -219,7 +219,12 @@ def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
 
 import os as _os
 
-_PRUNED = _os.environ.get("AMC3D_FPS_PRUNED", "off")   # off | auto | on
+# default "auto" since the r3 device A/B: bit-exact vs the dense kernel
+# and 1.8x faster at 262k (1358 vs 2394 ms), 118x at 442k (3.3 s vs 388 s
+# — the dense kernel hits a >32k-lane VMEM-traffic cliff the chunked
+# layout never sees).  Training (B>1) is unaffected; this gates only the
+# B==1 whole-room eval path at N >= AMC3D_FPS_PRUNED_MIN.
+_PRUNED = _os.environ.get("AMC3D_FPS_PRUNED", "auto")   # off | auto | on
 _PRUNED_MIN_N = int(_os.environ.get("AMC3D_FPS_PRUNED_MIN", "262144"))
 _PRUNE_CS = int(_os.environ.get("AMC3D_FPS_PRUNE_CS", "32768"))
 _BIG = 3e38
