@@ -54,8 +54,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TQ = 512        # query tile
-CS = 2048       # support chunk
+TQ = int(os.environ.get("AMC3D_CONTRAST_TQ", "512"))    # query tile
+CS = int(os.environ.get("AMC3D_CONTRAST_CS", "2048"))   # support chunk
 _INF = 3e38
 
 # MXU input precision for the similarity / gradient matmuls.  TPU matmuls

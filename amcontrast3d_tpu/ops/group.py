@@ -12,9 +12,12 @@ MXU (the reference uses (B, C, N)/(B, C, M, K) torch conv layout instead).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .knn import ball_query, knn
 
@@ -26,9 +29,45 @@ def gather_points(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 def group_points(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """x: (B, N, C), idx: (B, M, K) → (B, M, K, C)  (↔ grouping_operation, group.py:76-117)."""
+    if os.environ.get("AMC3D_GROUP_BWD", "scatter") == "sorted":
+        return _group_points_sortedbwd(x, idx)
     B, M, K = idx.shape
     flat = jnp.take_along_axis(x, idx.reshape(B, M * K, 1).astype(jnp.int32), axis=1)
     return flat.reshape(B, M, K, x.shape[-1])
+
+
+@jax.custom_vjp
+def _group_points_sortedbwd(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """group_points whose transpose scatter-adds in support-id-sorted order
+    (`indices_are_sorted`), an alternative codegen for the incidence
+    transpose that dominates the aggregation-tail backward.  Same math as
+    the autodiff scatter up to fp add associativity.  Consecutive blocks of
+    an encoder stage share `idx`, so XLA CSEs the per-stage argsort.
+    Env-gated: ``AMC3D_GROUP_BWD=sorted`` (default keeps XLA's scatter)."""
+    B, M, K = idx.shape
+    flat = jnp.take_along_axis(x, idx.reshape(B, M * K, 1).astype(jnp.int32), axis=1)
+    return flat.reshape(B, M, K, x.shape[-1])
+
+
+def _gp_sorted_fwd(x, idx):
+    return _group_points_sortedbwd(x, idx), (idx, x.shape[1])
+
+
+def _gp_sorted_bwd(res, ct):
+    idx, n = res
+    B, M, K = idx.shape
+    C = ct.shape[-1]
+    ids = idx.reshape(B, M * K).astype(jnp.int32)
+    order = jnp.argsort(ids, axis=1)
+    sids = jnp.take_along_axis(ids, order, axis=1)
+    sct = jnp.take_along_axis(ct.reshape(B, M * K, C), order[..., None], axis=1)
+    bi = jnp.arange(B)[:, None]
+    dx = jnp.zeros((B, n, C), ct.dtype).at[bi, sids].add(
+        sct, indices_are_sorted=True)
+    return dx, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_group_points_sortedbwd.defvjp(_gp_sorted_fwd, _gp_sorted_bwd)
 
 
 class Grouper(NamedTuple):

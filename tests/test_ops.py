@@ -131,6 +131,25 @@ class TestGrouping:
                 expected[0, idx[0, m, k]] += 2.0
         np.testing.assert_allclose(g, expected, atol=1e-6)
 
+    def test_group_sorted_bwd_matches_scatter(self, rng, monkeypatch):
+        """AMC3D_GROUP_BWD=sorted: value bit-equal, grad == scatter-add."""
+        x = rng.randn(3, 40, 8).astype(np.float32)
+        idx = rng.randint(0, 40, (3, 16, 6)).astype(np.int32)
+        ct = rng.randn(3, 16, 6, 8).astype(np.float32)
+
+        def run():
+            def f(x):
+                return jnp.sum(ops.group_points(x, jnp.array(idx))
+                               * jnp.array(ct))
+            return (np.asarray(f(jnp.array(x))),
+                    np.asarray(jax.grad(f)(jnp.array(x))))
+
+        v0, g0 = run()
+        monkeypatch.setenv("AMC3D_GROUP_BWD", "sorted")
+        v1, g1 = run()
+        np.testing.assert_array_equal(v0, v1)
+        np.testing.assert_allclose(g0, g1, rtol=1e-5, atol=1e-5)
+
 
 class TestInterpolate:
     def test_three_interpolation_exact_at_source(self, rng):

@@ -40,13 +40,19 @@ def main():
     hf = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
 
     def timeit(name, fn, *a):
-        f = jax.jit(fn)
-        out = jax.block_until_ready(f(*a))
+        # axon: block_until_ready under-reports — force a scalar host fetch
+        # (one per timed loop; ~1 ms roundtrip amortized over `it` runs)
+        def wrapped(*a):
+            o = fn(*a)
+            return o, jnp.sum(o) * 0.0
+        f = jax.jit(wrapped)
+        out, z = f(*a)
+        _ = float(z)
         t0 = time.perf_counter()
         it = 10
         for _ in range(it):
-            out = f(*a)
-        jax.block_until_ready(out)
+            out, z = f(*a)
+        _ = float(z)
         dt = (time.perf_counter() - t0) / it * 1e3
         print(f"{name:12s} {dt:8.2f} ms")
         return out, dt
