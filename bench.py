@@ -201,15 +201,33 @@ def main():
     state, metrics = step(state, batch, rngk)
     _ = float(metrics["loss"])
 
-    # Force a host-side value fetch per iteration: on the experimental
-    # remote-TPU platform, block_until_ready alone under-reported step time.
+    # Synced timing: a host-side scalar fetch per iteration (each fetch
+    # pays a full tunnel roundtrip on the remote-TPU platform;
+    # block_until_ready alone under-reports, so this is the conservative
+    # per-step wall-clock incl. the round trip).
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, rngk)
         _ = float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    dt_synced = (time.perf_counter() - t0) / iters
+
+    # Pipelined timing — the steady-state training number: enqueue all
+    # steps and fetch one scalar at the end.  The steps are sequentially
+    # dependent on device (opt state chains through donated buffers), so
+    # the elapsed time covers every step's execution; a real training
+    # epoch runs exactly like this (the loss meter read is per-log-freq,
+    # and only the remote tunnel makes a scalar fetch expensive).
+    dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, batch, rngk)
+        _ = float(metrics["loss"])
+        trial = (time.perf_counter() - t0) / iters
+        dt = trial if dt is None else min(dt, trial)
 
     detail = {"batch": B, "points": N, "step_ms": round(dt * 1e3, 2),
+              "step_ms_synced": round(dt_synced * 1e3, 2),
               "device": str(jax.devices()[0]),
               "loss": float(metrics["loss"]), "canary": canary,
               "dtype": "bfloat16" if amp else "float32"}
@@ -253,12 +271,17 @@ def main():
         import jax.numpy as jnp
 
         predict = make_predict_step(model)
-        pred_sum = jax.jit(lambda s, b: jnp.sum(predict(s, b)))
+        # chain iterations through a device-side accumulator so one final
+        # scalar fetch proves every enqueued forward executed (pipelined,
+        # same rationale as the train loop)
+        pred_acc = jax.jit(lambda acc, s, b: acc + jnp.sum(predict(s, b)))
         ebatch = {"pos": batch["pos"], "x": batch["x"]}
-        _ = float(pred_sum(state, ebatch))
+        acc = pred_acc(jnp.float32(0), state, ebatch)
+        _ = float(acc)
         t0 = time.perf_counter()
         for _ in range(iters):
-            _ = float(pred_sum(state, ebatch))
+            acc = pred_acc(acc, state, ebatch)
+        _ = float(acc)
         edt = (time.perf_counter() - t0) / iters
         detail["eval_points_per_sec"] = round(B * N / edt, 1)
         detail["eval_step_ms"] = round(edt * 1e3, 2)
@@ -286,10 +309,12 @@ def main():
                                           jax.random.PRNGKey(0))
             ce_state, m2 = ce_step(ce_state, batch, rngk)
             _ = float(m2["loss"])
+            # pipelined like the main loop (donated state chains steps),
+            # so the encoder/loss split compares like with like
             t0 = time.perf_counter()
             for _ in range(iters):
                 ce_state, m2 = ce_step(ce_state, batch, rngk)
-                _ = float(m2["loss"])
+            _ = float(m2["loss"])
             cdt = (time.perf_counter() - t0) / iters
             del ce_state
             detail["breakdown_ms"] = {

@@ -43,6 +43,20 @@ def main(logdir: str, top_n: int = 40):
     rows.sort(key=lambda r: -(cell(r, "total_self_time") or 0))
     tot = sum((cell(r, "total_self_time") or 0) for r in rows)
     print(f"total self time: {tot/1e3:.1f} ms over {len(rows)} ops")
+
+    # rollup by category (custom-calls further split by kernel prefix)
+    cats = {}
+    for r in rows:
+        t = cell(r, "total_self_time") or 0
+        cat = cell(r, "category") or "?"
+        if cat == "custom-call":
+            name = cell(r, "hlo_op_name") or "?"
+            cat = "cc:" + name.split(".")[0].rstrip("_0123456789")
+        cats[cat] = cats.get(cat, 0.0) + t
+    print("\n[by category]")
+    for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"{t:>10.0f} {t/max(tot,1)*100:>6.2f}  {cat}")
+    print()
     print(f"{'self us':>10} {'%':>6} {'occ':>5}  {'category':<22} name")
     for r in rows[:top_n]:
         t = cell(r, "total_self_time") or 0
