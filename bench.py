@@ -136,6 +136,13 @@ def _device_canary():
 def main():
     import jax
 
+    # honor an explicit JAX_PLATFORMS=cpu BEFORE first backend touch (the
+    # container sitecustomize force-registers the remote-TPU plugin, which
+    # otherwise wins — and a stray CPU-intended bench run would land on
+    # the shared chip)
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     # Probe the backend before any compile: a wedged/unavailable remote
     # chip otherwise surfaces as a bare stack trace.  Emit a machine-
     # readable failure line and exit non-zero instead.
@@ -170,11 +177,33 @@ def main():
     # reference default recipe is fp32, cfgs/default.yaml:46, so the
     # headline number stays fp32 unless the env says otherwise)
     amp = os.environ.get("BENCH_AMP", "0") != "0"
+    dtype = _jnp.bfloat16 if amp else _jnp.float32
     encoder_args, cls_args = _flagship_cfg()
-    model = BaseSeg_AMContrast3D(encoder_args=encoder_args, decoder_args={},
-                                 cls_args=cls_args,
-                                 dtype=_jnp.bfloat16 if amp else _jnp.float32)
-    criterion = CrossEntropyAce()
+    # BENCH_KIND=mm → the AMContrast3D++ flagship (APM towers + DualMasks
+    # refinement + 4-term CrossEntropyAcePre), cfgs/s3dis/AMContrast3D-MM.yaml
+    kind = os.environ.get("BENCH_KIND", "aa")
+    ambiguity_args = dict(AMBIGUITY_ARGS)
+    if kind == "mm":
+        from amcontrast3d_tpu.loss import CrossEntropyAcePre
+        from amcontrast3d_tpu.models import BaseSeg_M_AMContrast3D
+
+        apm_args = {"NAME": "APM_pf_ConCate",
+                    "feature_dim": [64, 128, 256, 512],
+                    "linear_mapping": False, "cross_attention": False,
+                    "feat_concate": False,
+                    "channel": [32, 16, 8, 4, 2], "dropout": [0, 0, 0, 0, 0],
+                    "nsample_k": 12, "threshold": 0.9, "threshold_max": 1.0,
+                    "gamma": 1, "fusion": "MIN", "att_dim": 3}
+        ambiguity_args.update(source="APM", source_mode="Train")
+        model = BaseSeg_M_AMContrast3D(
+            encoder_args=encoder_args, decoder_args={}, cls_args=cls_args,
+            AEF_args=ambiguity_args, APM_args=apm_args, dtype=dtype)
+        criterion = CrossEntropyAcePre()
+    else:
+        model = BaseSeg_AMContrast3D(encoder_args=encoder_args,
+                                     decoder_args={}, cls_args=cls_args,
+                                     dtype=dtype)
+        criterion = CrossEntropyAce()
     lr_fn, _ = build_scheduler_from_cfg({"sched": "cosine", "epochs": 150,
                                          "lr": 0.01, "min_lr": 1e-5})
     tx = build_tx({"NAME": "adamw", "weight_decay": 1e-4},
@@ -182,8 +211,8 @@ def main():
 
     batch = _batch(B, N)
     state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
-    step_fn = make_train_step(model, criterion, tx, "aa", 13, None,
-                              AMBIGUITY_ARGS)
+    step_fn = make_train_step(model, criterion, tx, kind, 13, None,
+                              ambiguity_args)
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
     rngk = jax.random.PRNGKey(1)
 
@@ -226,7 +255,8 @@ def main():
         trial = (time.perf_counter() - t0) / iters
         dt = trial if dt is None else min(dt, trial)
 
-    detail = {"batch": B, "points": N, "step_ms": round(dt * 1e3, 2),
+    detail = {"batch": B, "points": N, "kind": kind,
+              "step_ms": round(dt * 1e3, 2),
               "step_ms_synced": round(dt_synced * 1e3, 2),
               "device": str(jax.devices()[0]),
               "loss": float(metrics["loss"]), "canary": canary,
@@ -292,7 +322,7 @@ def main():
     # optimizer, contrast head elided) isolates the encoder+decoder+update
     # cost; the contrast objective is the difference (↔ the grouper
     # micro-bench role of reference examples/profile.py:108-126)
-    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+    if kind == "aa" and os.environ.get("BENCH_BREAKDOWN", "1") != "0":
         try:
             from amcontrast3d_tpu.loss import CrossEntropy
 
