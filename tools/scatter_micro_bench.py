@@ -125,6 +125,29 @@ def main():
     err = float(jnp.max(jnp.abs(ref - out3)) / (jnp.max(jnp.abs(ref)) + 1e-9))
     print(f"  cumsumdiff rel err: {err:.2e}")
 
+    # 3b. dtype axis: is the engine row-bound or byte-bound?
+    def scatter_bf16(ct, idx):
+        flat = ct.reshape(B, M * K, C).astype(jnp.bfloat16)
+        ids = idx.reshape(B, M * K)
+        out = jnp.zeros((B, N, C), jnp.bfloat16)
+        bi = jnp.arange(B)[:, None]
+        return out.at[bi, ids].add(flat)
+
+    timeit("scatter_bf16", scatter_bf16, ct, idx)
+
+    def gather_bf16(hf, idx):
+        h16 = hf.astype(jnp.bfloat16)
+        return jnp.take_along_axis(
+            h16, idx.reshape(B, M * K, 1), axis=1).reshape(B, M, K, C)
+
+    timeit("gather_bf16", gather_bf16, hf, idx)
+
+    def gather_f32(hf, idx):
+        return jnp.take_along_axis(
+            hf, idx.reshape(B, M * K, 1), axis=1).reshape(B, M, K, C)
+
+    timeit("gather_f32", gather_f32, hf, idx)
+
     # 4. the real tail fwd+bwd for context
     wdp = jnp.asarray(rng.randn(3, C).astype(np.float32) * 0.1)
     sup = jnp.asarray(rng.rand(B, N, 3).astype(np.float32))
