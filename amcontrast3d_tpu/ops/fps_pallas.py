@@ -44,6 +44,20 @@ _INF = 1e10
 _TO = 4096
 
 
+def _pin(out: jnp.ndarray) -> jnp.ndarray:
+    """Materialize the multi-call B==1 index output before any consumer.
+
+    Platform trap (r3 device bisection): letting a downstream gather fuse
+    across the multi-call aliased FPS chain corrupts the per-call index
+    outputs — a composite ``fps -> take_along_axis`` jit at 442k points
+    returned INT32_MAX (the _BIG tie-sentinel cast) for most rows while
+    FPS in isolation was exact.  An ``optimization_barrier`` on the
+    concatenated output pins its materialization ahead of the consumer
+    fusion and restores bit-exactness (verified on device; see
+    tests_device/test_kernels_device.py::test_fps_composite_gather)."""
+    return lax.optimization_barrier(out)
+
+
 def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, npoint: int):
     B, N = x_ref.shape
     col = lax.broadcasted_iota(jnp.int32, (B, N), 1)
@@ -190,7 +204,7 @@ def _fps_b1(x, y, z, N: int, npoint: int, interpret: bool) -> jnp.ndarray:
         outs.append(idx[:cnt])
         done += cnt
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    return out.T
+    return _pin(out).T
 
 
 # ---------------------------------------------------------------------------
@@ -425,7 +439,7 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
         outs.append(idx[:cnt])
         done += cnt
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    return out.T
+    return _pin(out).T
 
 
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))

@@ -181,6 +181,48 @@ def test_fps_compiled_valid_and_equivalent(rng):
         assert rel < 1e-5, f"b={b} pick {i}: rel gap {rel:.2e} not a tie"
 
 
+def test_fps_composite_gather(rng):
+    """Regression: a downstream gather fused across the multi-call aliased
+    B==1 FPS chain corrupted the per-call index outputs (INT32_MAX rows /
+    NaN gathered positions at the 442k eval rung) — the exact composite
+    every SA stage runs.  ``_pin`` (optimization_barrier on the
+    concatenated output) must keep the composite bit-identical to FPS in
+    isolation for BOTH B==1 kernels.  The ops budget is shrunk so the
+    multi-call split triggers at test size."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    from amcontrast3d_tpu.ops.group import gather_points
+
+    N, npoint = 65536, 16384
+    xyz = _clouds(rng, 1, N, scale=8.0)
+    old_budget, old_mode = FP._B1_OPS_BUDGET, FP._PRUNED
+    try:
+        FP._B1_OPS_BUDGET = 2e8   # -> 4 chained calls at this size
+        for mode in ("off", "on"):
+            FP.set_fps_pruned(mode)
+            # the dispatch mode is read at trace time -> bust the jit cache
+            furthest_point_sample_pallas.clear_cache()
+
+            def composite(p):
+                idx = furthest_point_sample_pallas(p, npoint)
+                return idx, gather_points(p, idx)
+
+            idx_c, newp = jax.block_until_ready(jax.jit(composite)(xyz))
+            idx_i = jax.block_until_ready(
+                furthest_point_sample_pallas(xyz, npoint))
+            idx_c, idx_i = np.asarray(idx_c)[0], np.asarray(idx_i)[0]
+            assert ((idx_c >= 0) & (idx_c < N)).all(), \
+                f"mode={mode}: oob indices in composite"
+            assert (idx_c == idx_i).all(), \
+                f"mode={mode}: {int((idx_c != idx_i).sum())} picks differ " \
+                "between composite and isolation"
+            assert len(set(idx_c.tolist())) == npoint
+            assert np.isfinite(np.asarray(newp)).all()
+    finally:
+        FP._B1_OPS_BUDGET = old_budget
+        FP.set_fps_pruned(old_mode)
+        furthest_point_sample_pallas.clear_cache()
+
+
 def test_fps_pruned_compiled_valid_and_equivalent(rng):
     """Chunk-pruned B==1 FPS on device: exact pick-for-pick equality with
     the DENSE compiled kernel at an eval-ladder-like size (pruning is
