@@ -29,11 +29,31 @@ def main():
     import jax.numpy as jnp
 
     amp = os.environ.get("BENCH_AMP", "0") != "0"
+    dtype = jnp.bfloat16 if amp else jnp.float32
     encoder_args, cls_args = _flagship_cfg()
-    model = BaseSeg_AMContrast3D(encoder_args=encoder_args, decoder_args={},
-                                 cls_args=cls_args,
-                                 dtype=jnp.bfloat16 if amp else jnp.float32)
-    criterion = CrossEntropyAce()
+    # BENCH_KIND=mm → the AMContrast3D++ flagship (same shapes bench.py times)
+    kind = os.environ.get("BENCH_KIND", "aa")
+    ambiguity_args = dict(AMBIGUITY_ARGS)
+    if kind == "mm":
+        from amcontrast3d_tpu.loss import CrossEntropyAcePre
+        from amcontrast3d_tpu.models import BaseSeg_M_AMContrast3D
+        apm_args = {"NAME": "APM_pf_ConCate",
+                    "feature_dim": [64, 128, 256, 512],
+                    "linear_mapping": False, "cross_attention": False,
+                    "feat_concate": False,
+                    "channel": [32, 16, 8, 4, 2], "dropout": [0, 0, 0, 0, 0],
+                    "nsample_k": 12, "threshold": 0.9, "threshold_max": 1.0,
+                    "gamma": 1, "fusion": "MIN", "att_dim": 3}
+        ambiguity_args.update(source="APM", source_mode="Train")
+        model = BaseSeg_M_AMContrast3D(
+            encoder_args=encoder_args, decoder_args={}, cls_args=cls_args,
+            AEF_args=ambiguity_args, APM_args=apm_args, dtype=dtype)
+        criterion = CrossEntropyAcePre()
+    else:
+        model = BaseSeg_AMContrast3D(encoder_args=encoder_args,
+                                     decoder_args={}, cls_args=cls_args,
+                                     dtype=dtype)
+        criterion = CrossEntropyAce()
     lr_fn, _ = build_scheduler_from_cfg({"sched": "cosine", "epochs": 150,
                                          "lr": 0.01, "min_lr": 1e-5})
     tx = build_tx({"NAME": "adamw", "weight_decay": 1e-4},
@@ -42,8 +62,8 @@ def main():
     N = int(os.environ.get("BENCH_POINTS", 24000))
     batch = _batch(B, N)
     state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
-    step_fn = make_train_step(model, criterion, tx, "aa", 13, None,
-                              AMBIGUITY_ARGS)
+    step_fn = make_train_step(model, criterion, tx, kind, 13, None,
+                              ambiguity_args)
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
     rngk = jax.random.PRNGKey(1)
     step = jit_step.lower(state, batch, rngk).compile()
