@@ -161,19 +161,15 @@ def _interp_kernel(qT_ref, buf_ref, out_ref, aux_ref, cand_ref, *, cs: int,
     aux_ref[0, 1:2, :] = jnp.maximum(accw, 1e-20)
 
 
-def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
-    """df_j = Σ_q nb·(w_qj / Wsum_q)·g_q — one support-side matmul kernel.
-    qbuf = [g(C) | x y z thr wsum] resident; support chunk via sT (4, cs).
-    Query tiles whose box-to-box lower bound exceeds the tile's threshold
-    bound have w ≡ 0 and are skipped (exact, same boxes as forward)."""
-    m_pad = qbuf_ref.shape[1]
+def _bwd_tile_sweep(qbuf_ref, sx, sy, sz, acc0, *, tq: int, prune: bool,
+                    precision):
+    """Sweep the query tiles of a resident qbuf block, accumulating the
+    support-chunk gradient: df_j += Σ_q nb·(w_qj / Wsum_q)·g_q (one matmul
+    per tile).  Query tiles whose box-to-box lower bound exceeds the tile's
+    threshold bound have w ≡ 0 and are skipped (exact, same boxes as
+    forward)."""
+    m_blk = qbuf_ref.shape[1]
     C = qbuf_ref.shape[2] - 5
-    sx = sT_ref[0, 0:1, :]
-    sy = sT_ref[0, 1:2, :]
-    sz = sT_ref[0, 2:3, :]
-    cs = sx.shape[1]
-    n_tiles = m_pad // tq
-    prune = _PRUNE and n_tiles > 1
     if prune:
         clo = (jnp.min(sx), jnp.min(sy), jnp.min(sz))
         chi = (jnp.max(sx), jnp.max(sy), jnp.max(sz))
@@ -201,9 +197,45 @@ def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
         return lax.cond(lb <= tb, lambda a: tile_grad(t, a),
                         lambda a: a, acc)
 
-    dfs_ref[0] = lax.fori_loop(0, m_pad // tq, body,
-                               jnp.zeros((cs, qbuf_ref.shape[2] - 5),
-                                         jnp.float32))
+    return lax.fori_loop(0, m_blk // tq, body, acc0)
+
+
+def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
+    """Whole-qbuf-resident backward: qbuf = [g(C) | x y z thr wsum];
+    support chunk via sT (3, cs)."""
+    sx = sT_ref[0, 0:1, :]
+    sy = sT_ref[0, 1:2, :]
+    sz = sT_ref[0, 2:3, :]
+    cs = sx.shape[1]
+    prune = _PRUNE and qbuf_ref.shape[1] // tq > 1
+    dfs_ref[0] = _bwd_tile_sweep(
+        qbuf_ref, sx, sy, sz,
+        jnp.zeros((cs, qbuf_ref.shape[2] - 5), jnp.float32),
+        tq=tq, prune=prune, precision=precision)
+
+
+def _interp_bwd_big_kernel(qbuf_ref, sT_ref, dfs_ref, acc_ref, *, tq: int,
+                           n_qb: int, precision):
+    """Query-chunked backward for qbufs beyond VMEM residency (e.g. the
+    ScanNet recipe's fp0 stage: 64000 fine points x (128+5)->256 lanes is
+    ~65 MB): query blocks ride the minor grid dim, the (cs, C) gradient
+    accumulator lives in scratch across the sweep, and the same per-tile
+    bbox pruning runs inside each block."""
+    qb_i = pl.program_id(2)
+    sx = sT_ref[0, 0:1, :]
+    sy = sT_ref[0, 1:2, :]
+    sz = sT_ref[0, 2:3, :]
+
+    @pl.when(qb_i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = _bwd_tile_sweep(qbuf_ref, sx, sy, sz, acc_ref[:], tq=tq,
+                                 prune=_PRUNE, precision=precision)
+
+    @pl.when(qb_i == n_qb - 1)
+    def _final():
+        dfs_ref[0] = acc_ref[:]
 
 
 # whole-support VMEM residency cap for the single-call kernel; above it the
@@ -212,6 +244,11 @@ def _interp_bwd_kernel(qbuf_ref, sT_ref, dfs_ref, *, tq: int, precision):
 _SUP_VMEM_BUDGET = 48 * 1024 * 1024
 
 _BIG_CS = 2048  # support chunk of the grid-chunked large-N path
+
+# backward qbuf residency cap (S3DIS's 24k queries stay resident; the
+# ScanNet recipe's 64k-query fp0 qbuf is ~65 MB and chunks) + its block
+_QBUF_VMEM_BUDGET = 32 * 1024 * 1024
+_QB = 4096
 
 
 def _buf_vmem_bytes(n_pad: int, C: int) -> int:
@@ -399,7 +436,15 @@ def _interp_bwd(interpret, res, gout):
     prec = _PREC
     n_pad, cs = _shapes_sup(N2)
     tq = min(TQ, -(-N1 // 8) * 8)
-    m_pad = -(-N1 // tq) * tq
+    # qbuf VMEM residency gate: beyond it, query blocks ride the grid and
+    # the accumulator lives in scratch (query-chunked kernel)
+    qbuf_lanes = -(-(C + 5) // 128) * 128
+    big = (-(-N1 // tq) * tq) * qbuf_lanes * 4 > _QBUF_VMEM_BUDGET
+    if big:
+        tq = TQ
+        m_pad = -(-N1 // _QB) * _QB
+    else:
+        m_pad = -(-N1 // tq) * tq
 
     if perm1 is not None:
         gout = _gather_n(gout, perm1)       # into sorted query order
@@ -414,21 +459,41 @@ def _interp_bwd(interpret, res, gout):
     sT = jnp.transpose(_pad_to(p2r, n_pad, 1, value=1e4), (0, 2, 1))
 
     cs_sup = 512 if n_pad % 512 == 0 else n_pad
-    df2 = pl.pallas_call(
-        functools.partial(_interp_bwd_kernel, tq=tq, precision=prec),
-        grid=(B, n_pad // cs_sup),
-        in_specs=[
-            pl.BlockSpec((1, m_pad, C + 5), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, cs_sup), lambda b, c: (b, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, cs_sup, C), lambda b, c: (b, c, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
-        compiler_params=_params(),
-        interpret=interpret,
-    )(qbuf, sT)
+    if big:
+        n_qb = m_pad // _QB
+        df2 = pl.pallas_call(
+            functools.partial(_interp_bwd_big_kernel, tq=tq, n_qb=n_qb,
+                              precision=prec),
+            grid=(B, n_pad // cs_sup, n_qb),
+            in_specs=[
+                pl.BlockSpec((1, _QB, C + 5), lambda b, c, q: (b, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, cs_sup), lambda b, c, q: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, cs_sup, C), lambda b, c, q: (b, c, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((cs_sup, C), jnp.float32)],
+            compiler_params=_params(),
+            interpret=interpret,
+        )(qbuf, sT)
+    else:
+        df2 = pl.pallas_call(
+            functools.partial(_interp_bwd_kernel, tq=tq, precision=prec),
+            grid=(B, n_pad // cs_sup),
+            in_specs=[
+                pl.BlockSpec((1, m_pad, C + 5), lambda b, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, cs_sup), lambda b, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, cs_sup, C), lambda b, c: (b, c, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_pad, C), jnp.float32),
+            compiler_params=_params(),
+            interpret=interpret,
+        )(qbuf, sT)
     df2 = df2[:, :N2]
     if inv2 is not None:
         df2 = _gather_n(df2, inv2)          # back to original support order

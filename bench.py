@@ -163,9 +163,16 @@ def main():
     from amcontrast3d_tpu.scheduler import (as_step_schedule,
                                             build_scheduler_from_cfg)
 
-    B = int(os.environ.get("BENCH_BATCH", 4))
-    N = int(os.environ.get("BENCH_POINTS", 24000))
+    # BENCH_RECIPE=scannet → the ScanNet flagship recipe shapes/params
+    # (cfgs/scannet/AMContrast3D-AA.yaml: batch 2 × voxel_max 64000,
+    # in_channels 7, radius 0.05, 20 classes, ignore_index -100, ν=0.6,
+    # temperature=0.5); default stays the S3DIS recipe.
+    recipe = os.environ.get("BENCH_RECIPE", "s3dis")
+    scannet = recipe == "scannet"
+    B = int(os.environ.get("BENCH_BATCH", 2 if scannet else 4))
+    N = int(os.environ.get("BENCH_POINTS", 64000 if scannet else 24000))
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    in_ch, ncls, ignore_index = (7, 20, -100) if scannet else (4, 13, None)
 
     canary = "disabled"
     if os.environ.get("BENCH_CANARY", "1") != "0":
@@ -179,10 +186,15 @@ def main():
     amp = os.environ.get("BENCH_AMP", "0") != "0"
     dtype = _jnp.bfloat16 if amp else _jnp.float32
     encoder_args, cls_args = _flagship_cfg()
+    if scannet:
+        encoder_args.update(in_channels=in_ch, radius=0.05)
+        cls_args.update(num_classes=ncls, global_feat="max")
     # BENCH_KIND=mm → the AMContrast3D++ flagship (APM towers + DualMasks
     # refinement + 4-term CrossEntropyAcePre), cfgs/s3dis/AMContrast3D-MM.yaml
     kind = os.environ.get("BENCH_KIND", "aa")
     ambiguity_args = dict(AMBIGUITY_ARGS)
+    if scannet:
+        ambiguity_args.update(nu=0.6, temperature=0.5)
     if kind == "mm":
         from amcontrast3d_tpu.loss import CrossEntropyAcePre
         from amcontrast3d_tpu.models import BaseSeg_M_AMContrast3D
@@ -209,9 +221,9 @@ def main():
     tx = build_tx({"NAME": "adamw", "weight_decay": 1e-4},
                   as_step_schedule(lr_fn, 100), grad_norm_clip=10.0)
 
-    batch = _batch(B, N)
+    batch = _batch(B, N, in_ch=in_ch, ncls=ncls)
     state = create_train_state(model, tx, batch, jax.random.PRNGKey(0))
-    step_fn = make_train_step(model, criterion, tx, kind, 13, None,
+    step_fn = make_train_step(model, criterion, tx, kind, ncls, ignore_index,
                               ambiguity_args)
     jit_step = jax.jit(step_fn, donate_argnums=(0,))
     rngk = jax.random.PRNGKey(1)
@@ -255,7 +267,7 @@ def main():
         trial = (time.perf_counter() - t0) / iters
         dt = trial if dt is None else min(dt, trial)
 
-    detail = {"batch": B, "points": N, "kind": kind,
+    detail = {"batch": B, "points": N, "kind": kind, "recipe": recipe,
               "step_ms": round(dt * 1e3, 2),
               "step_ms_synced": round(dt_synced * 1e3, 2),
               "device": str(jax.devices()[0]),
@@ -273,7 +285,7 @@ def main():
         stages_sh = out_sh[1]
         stage_shapes = [tuple(s.shape) for s in stages_sh["f_up"]]
         mxu_fl, vpu_fl = _pallas_flops(B, N, stage_shapes,
-                                       AMBIGUITY_ARGS["nsample"])
+                                       ambiguity_args["nsample"], ncls=ncls)
         detail["pallas_tflops_mxu"] = round(mxu_fl / 1e12, 2)
         detail["pallas_tflops_vpu"] = round(vpu_fl / 1e12, 2)
     except Exception:
@@ -333,8 +345,9 @@ def main():
                     return args["w1"] * plain_ce(logits, target)
 
             ce_step = jax.jit(
-                make_train_step(model, _CEOnly(), tx, "aa", 13, None,
-                                AMBIGUITY_ARGS), donate_argnums=(0,))
+                make_train_step(model, _CEOnly(), tx, "aa", ncls,
+                                ignore_index, ambiguity_args),
+                donate_argnums=(0,))
             ce_state = create_train_state(model, tx, batch,
                                           jax.random.PRNGKey(0))
             ce_state, m2 = ce_step(ce_state, batch, rngk)
@@ -355,6 +368,15 @@ def main():
             pass
 
     pts_per_sec = B * N / dt
+    # Projected epoch wall-clock (BASELINE.json north-star #3; no published
+    # reference value).  Epoch sample counts from the reference recipes:
+    # S3DIS train = 204 rooms (all areas but 5) x loop 30 = 6120 clouds of
+    # voxel_max 24000 (cfgs/s3dis/default.yaml:10-11); ScanNet train = 1201
+    # scenes x loop 6 = 7206 clouds of voxel_max 64000
+    # (cfgs/scannet/default.yaml:6-10).
+    epoch_clouds = 7206 if scannet else 6120
+    detail["projected_epoch_s_1chip"] = round(epoch_clouds * N / pts_per_sec,
+                                              1)
     result = {
         "metric": "train_points_per_sec_per_chip",
         "value": round(pts_per_sec, 1),

@@ -67,6 +67,38 @@ def test_fused_interp_grad(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_interp_bwd_chunked_matches(rng, monkeypatch):
+    """The query-chunked backward (qbuf beyond VMEM residency — the ScanNet
+    recipe's 64k-query fp0 stage) must produce the same df2 as the resident
+    kernel and the XLA oracle."""
+    import amcontrast3d_tpu.ops.interpolate_pallas as IP
+    p1 = jnp.asarray(rng.rand(1, 1100, 3).astype(np.float32) * 3)
+    p2 = jnp.asarray(rng.rand(1, 700, 3).astype(np.float32) * 3)
+    f2 = jnp.asarray(rng.randn(1, 700, 12).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(1, 1100, 12).astype(np.float32))
+
+    def loss_fused(f_):
+        return jnp.sum((IP.three_interpolation_fused(p1, p2, f_, True)
+                        - tgt) ** 2)
+
+    g_res = jax.grad(loss_fused)(f2)
+    monkeypatch.setattr(IP, "_QBUF_VMEM_BUDGET", 1)  # force chunked bwd
+    monkeypatch.setattr(IP, "_QB", 512)              # several query blocks
+    g_chunk = jax.grad(loss_fused)(f2)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_res),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(f_):
+        return jnp.sum((_ref(p1, p2, f_) - tgt) ** 2)
+
+    # vs the XLA oracle only mostly-close: the cushion admits a 4th tied
+    # neighbor on a handful of rows (docs/DEVIATIONS.md §11)
+    g_ref = jax.grad(loss_ref)(f2)
+    close = np.isclose(np.asarray(g_chunk), np.asarray(g_ref),
+                       rtol=1e-4, atol=1e-4)
+    assert close.mean() >= 0.99, f"{1 - close.mean():.4f} mismatched"
+
+
 def test_fused_interp_big_path_matches(rng, monkeypatch):
     """The grid-chunked large-support path (whole-room eval rungs) must
     match the resident-support kernel on the same inputs."""

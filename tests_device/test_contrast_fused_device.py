@@ -132,6 +132,31 @@ def test_fused_interp_compiled(rng):
     assert close.mean() >= 0.999, f"{1 - close.mean():.5f} mismatched"
 
 
+def test_fused_interp_bwd_chunked_compiled(rng):
+    """Compiled query-chunked interp backward (the ScanNet-recipe fp0 shape
+    class: qbuf beyond the 32 MB residency gate) vs the resident kernel at a
+    shape where both compile."""
+    import amcontrast3d_tpu.ops.interpolate_pallas as IP
+
+    p1 = jnp.asarray(rng.rand(1, 24000, 3).astype(np.float32) * 4)
+    p2 = jnp.asarray(rng.rand(1, 6000, 3).astype(np.float32) * 4)
+    f2 = jnp.asarray(rng.randn(1, 6000, 64).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(1, 24000, 64).astype(np.float32))
+
+    def loss(f_):
+        return jnp.sum((IP.three_interpolation_fused(p1, p2, f_, False)
+                        - tgt) ** 2)
+
+    g_res = np.asarray(jax.grad(loss)(f2))
+    orig_budget, orig_qb = IP._QBUF_VMEM_BUDGET, IP._QB
+    IP._QBUF_VMEM_BUDGET, IP._QB = 1, 4096
+    try:
+        g_chunk = np.asarray(jax.grad(loss)(f2))
+    finally:
+        IP._QBUF_VMEM_BUDGET, IP._QB = orig_budget, orig_qb
+    np.testing.assert_allclose(g_chunk, g_res, rtol=1e-5, atol=1e-5)
+
+
 def test_label_vote_compiled(rng):
     """Compiled majority-vote kernel vs argmax of the soft subscene labels."""
     from amcontrast3d_tpu.loss.aef import one_hot_labels, subscene_labels
