@@ -24,8 +24,11 @@ threshold bound the same way.  A d² tie still admits a 4th neighbor whose
 weight equals the tied 3rd — averaging over ties instead of picking one.
 
 Large supports beyond VMEM residency (only whole-room eval) use the
-two-call grid-chunked path (exact-or-superset threshold via the big kNN
-kernel).
+grid-chunked path: a seed/scan kernel pair finds each query's 3rd-NN d²
+over the kd-sorted chunks with bbox skipping (running top-3 in scratch
+across the minor chunk sweep), then the chunked accumulation applies the
+same skip.  Query tiles are _BIG_TQ wide there — chunk blocks are
+re-fetched per (tile, chunk) step, so tile width divides total DMA.
 """
 from __future__ import annotations
 
@@ -244,6 +247,11 @@ def _interp_bwd_big_kernel(qbuf_ref, sT_ref, dfs_ref, acc_ref, *, tq: int,
 _SUP_VMEM_BUDGET = 48 * 1024 * 1024
 
 _BIG_CS = 2048  # support chunk of the grid-chunked large-N path
+# query tile of the large-N path.  Chunk blocks are re-fetched per
+# (tile, chunk) grid step, so DMA scales as n_tiles * n_pad * row_bytes —
+# the 256-wide tile of the resident kernel cost ~3 TB of chunk DMA at the
+# 884k rung (measured 4.75 s in fp0 alone); 2048 queries/tile cuts it 8x.
+_BIG_TQ = 2048
 
 # backward qbuf residency cap (S3DIS's 24k queries stay resident; the
 # ScanNet recipe's 64k-query fp0 qbuf is ~65 MB and chunks) + its block
@@ -257,32 +265,49 @@ def _buf_vmem_bytes(n_pad: int, C: int) -> int:
 
 
 def _interp_acc_big_kernel(qT_ref, buf_ref, out_ref, aux_ref, acc_ref,
-                           accw_ref, *, C: int, n_chunks: int, precision):
+                           accw_ref, *, C: int, n_chunks: int, prune: bool,
+                           precision):
     """Large-N accumulation: support chunks ride the minor grid dim; the
     (tq, C+1) accumulator lives in scratch across the chunk sweep (same
-    persistence pattern as knn_pallas._knn_kernel_big)."""
+    persistence pattern as knn_pallas._knn_kernel_big).  With kd-sorted
+    support, chunks whose box-to-box lower bound exceeds the tile's
+    threshold bound have w ≡ 0 and skip the d²/matmul work (the block DMA
+    itself is unconditional — prefetch ignores pl.when)."""
     c = pl.program_id(2)
     qx = qT_ref[0, 0:1, :]
     qy = qT_ref[0, 1:2, :]
     qz = qT_ref[0, 2:3, :]
     thr = qT_ref[0, 3:4, :]
-    ch = buf_ref[0]                                   # (cs, C+4)
-    sx = ch[:, C + 1:C + 2]
-    sy = ch[:, C + 2:C + 3]
-    sz = ch[:, C + 3:C + 4]
-    d2 = (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
-    w = jnp.where(d2 <= thr, 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) + 1e-8),
-                  0.0)
 
     @pl.when(c == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         accw_ref[:] = jnp.zeros_like(accw_ref)
 
-    acc_ref[:] = acc_ref[:] + lax.dot_general(
-        w, ch[:, 0:C + 1], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    accw_ref[:] = accw_ref[:] + jnp.sum(w, axis=0, keepdims=True)
+    def _accumulate():
+        ch = buf_ref[0]                               # (cs, C+4)
+        sx = ch[:, C + 1:C + 2]
+        sy = ch[:, C + 2:C + 3]
+        sz = ch[:, C + 3:C + 4]
+        d2 = (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
+        w = jnp.where(d2 <= thr,
+                      1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) + 1e-8), 0.0)
+        acc_ref[:] = acc_ref[:] + lax.dot_general(
+            w, ch[:, 0:C + 1], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        accw_ref[:] = accw_ref[:] + jnp.sum(w, axis=0, keepdims=True)
+
+    if prune:
+        clo, chi = _minmax3(buf_ref[0, :, C + 1:C + 4])
+        qlo = (jnp.min(qx), jnp.min(qy), jnp.min(qz))
+        qhi = (jnp.max(qx), jnp.max(qy), jnp.max(qz))
+        tb = jnp.max(thr) * (1.0 + 1e-4)
+
+        @pl.when(_bbox_lb(qlo, qhi, clo, chi) <= tb)
+        def _():
+            _accumulate()
+    else:
+        _accumulate()
 
     @pl.when(c == n_chunks - 1)
     def _final():
@@ -292,36 +317,164 @@ def _interp_acc_big_kernel(qT_ref, buf_ref, out_ref, aux_ref, acc_ref,
         aux_ref[0, 1:2, :] = jnp.maximum(accw_ref[:], 1e-20)
 
 
-def _interp_fwd_big(p1, p2, f2, interpret):
-    """Two-call path for supports beyond VMEM residency: 3rd-NN d² from the
-    grid-chunked kNN kernel (exact-or-superset, as the grouped tournament),
-    then the chunked weighted accumulation."""
-    from .knn_pallas import knn_pallas
+def _top3_rows(cd, tq):
+    """3 extraction rounds → list of (1, tq) rows, smallest first.  Equality
+    masking drops tied copies in one round (the 3rd extracted value can only
+    grow → superset neighborhoods, the documented tie-averaging semantics)."""
+    rows = []
+    for _ in range(3):
+        m = jnp.min(cd, axis=0, keepdims=True)
+        rows.append(m)
+        cd = jnp.where(cd == m, _INF, cd)
+    return rows
 
+
+def _interp_thr_seed_kernel(qT_ref, bufp_ref, seed_ref):
+    """Phase A of the large-N 3rd-NN threshold: each tile's proportionally-
+    positioned chunk upper-bounds every query's true 3rd distance (the 3rd
+    over a support subset only shrinks as support grows)."""
+    qx = qT_ref[0, 0:1, :]
+    qy = qT_ref[0, 1:2, :]
+    qz = qT_ref[0, 2:3, :]
+    tq = qx.shape[1]
+    ch = bufp_ref[0]                                  # (cs, 3)
+    sx = ch[:, 0:1]
+    sy = ch[:, 1:2]
+    sz = ch[:, 2:3]
+    cd = (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
+    rows = _top3_rows(cd, tq)
+    rows += [jnp.full((1, tq), _INF, jnp.float32)] * 5
+    seed_ref[0] = jnp.concatenate(rows, axis=0)
+
+
+def _interp_thr_kernel(qT_ref, seed_ref, bufp_ref, out_ref, cand_ref):
+    """Phase B: running per-query top-3 d² in scratch across the kd-sorted
+    chunk sweep.  A chunk is merged only if its box-to-box lower bound can
+    beat the tile's current 3rd-distance bound (exact skip: a skipped chunk
+    cannot contribute a top-3 member for any query in the tile); the seed
+    chunk is skipped by id (its candidates are already in the scratch —
+    re-merging would double-count its points and shrink the 3rd)."""
+    t = pl.program_id(1)
+    c = pl.program_id(2)
+    n_tiles = pl.num_programs(1)
+    n_chunks = pl.num_programs(2)
+    qx = qT_ref[0, 0:1, :]
+    qy = qT_ref[0, 1:2, :]
+    qz = qT_ref[0, 2:3, :]
+    tq = qx.shape[1]
+
+    @pl.when(c == 0)
+    def _init():
+        cand_ref[:] = seed_ref[0]
+
+    ch = bufp_ref[0]                                  # (cs, 3)
+    clo, chi = _minmax3(ch)
+    qlo = (jnp.min(qx), jnp.min(qy), jnp.min(qz))
+    qhi = (jnp.max(qx), jnp.max(qy), jnp.max(qz))
+    lb = _bbox_lb(qlo, qhi, clo, chi)
+    bound = jnp.max(cand_ref[2:3, :]) * (1.0 + 1e-4)
+    c0 = (t * n_chunks) // n_tiles                    # the seed chunk
+
+    @pl.when(jnp.logical_and(lb <= bound, c != c0))
+    def _merge():
+        sx = ch[:, 0:1]
+        sy = ch[:, 1:2]
+        sz = ch[:, 2:3]
+        cd = (sx - qx) ** 2 + (sy - qy) ** 2 + (sz - qz) ** 2
+        merged = jnp.concatenate(
+            [cand_ref[0:3, :]] + _top3_rows(cd, tq)
+            + [jnp.full((2, tq), _INF, jnp.float32)], axis=0)   # (8, tq)
+        rows = _top3_rows(merged, tq)
+        rows += [jnp.full((1, tq), _INF, jnp.float32)] * 5
+        cand_ref[:] = jnp.concatenate(rows, axis=0)
+
+    @pl.when(c == n_chunks - 1)
+    def _final():
+        out_ref[0] = cand_ref[:]
+
+
+def _interp_fwd_big(p1, p2, f2, interpret):
+    """Pruned path for supports beyond VMEM residency (whole-room eval
+    rungs): kd-sorted support + Morton-sorted queries, a seed/scan kernel
+    pair for each fine point's 3rd-NN d² with bbox chunk skipping, then the
+    chunked weighted accumulation with the same skip.  Replaces the generic
+    big-kNN threshold call (unpruned, (N,128)-lane-padded outputs): fp0 at
+    the 884k ladder rung measured 4.75 s acc + 3.11 s kNN before this.
+
+    Returns (out in ORIGINAL fine order, residuals in sorted space)."""
     B, N1, _ = p1.shape
     _, N2, C = f2.shape
     n_pad = -(-N2 // _BIG_CS) * _BIG_CS
     n_chunks = n_pad // _BIG_CS
-    tq = min(TQ, -(-N1 // 8) * 8)
+    tq = min(_BIG_TQ, -(-N1 // 8) * 8)
     m_pad = -(-N1 // tq) * tq
+    n_tiles = m_pad // tq
+    prune = _PRUNE and n_chunks > 1
 
-    thr = knn_pallas(p2, p1, 3, interpret=interpret)[1][..., 2] * (1.0 + 1e-6)
+    if prune:
+        p2s, perm2, inv2 = _kd_sort(p2, n_pad, _BIG_CS)
+        f2s = _gather_n(f2, perm2)
+        p1s, perm1, inv1 = _morton_sort(p1)
+    else:
+        p2s, f2s, p1s = p2, f2, p1
+        perm1 = inv1 = inv2 = None
+
+    bufp = _pad_to(p2s, n_pad, 1, value=1e4)          # (B, n_pad, 3)
+    qT = jnp.transpose(_pad_to(p1s, m_pad, 1, value=-1e4), (0, 2, 1))
+
+    seed = pl.pallas_call(
+        _interp_thr_seed_kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, tq), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _BIG_CS, 3),
+                lambda b, t, _n=n_chunks, _m=n_tiles: (b, (t * _n) // _m, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tq), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, m_pad), jnp.float32),
+        compiler_params=_params(),
+        interpret=interpret,
+    )(qT, bufp)
+
+    cand = pl.pallas_call(
+        _interp_thr_kernel,
+        grid=(B, n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 3, tq), lambda b, t, c: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tq), lambda b, t, c: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BIG_CS, 3), lambda b, t, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tq), lambda b, t, c: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, m_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tq), jnp.float32)],
+        compiler_params=_params(),
+        interpret=interpret,
+    )(qT, seed, bufp)
+    thr = cand[:, 2, :] * (1.0 + 1e-6)                # (B, m_pad), sorted
+    if m_pad > N1:
+        # padded queries: no members (keeps the acc tile's prune bound and
+        # the backward's membership semantics identical to the small path)
+        thr = jnp.where(jnp.arange(m_pad)[None] < N1, thr, -1.0)
 
     ones = jnp.ones((B, N2, 1), jnp.float32)
-    buf = jnp.concatenate([f2, ones, p2], axis=-1)
+    buf = jnp.concatenate([f2s, ones, p2s], axis=-1)
     buf = _pad_to(buf, n_pad, 1, value=0.0)
     if n_pad > N2:
         buf = buf.at[:, N2:, C + 1:C + 4].set(1e4)
-    qaux = jnp.concatenate([p1, thr[..., None]], axis=-1)
-    qaux = _pad_to(qaux, m_pad, 1, value=0.0)
-    if m_pad > N1:
-        qaux = qaux.at[:, N1:, 3].set(-1.0)   # padded queries: no members
-    qT = jnp.transpose(qaux, (0, 2, 1))
+    qT4 = jnp.concatenate([qT, thr[:, None, :]], axis=1)   # (B, 4, m_pad)
 
     out, aux = pl.pallas_call(
         functools.partial(_interp_acc_big_kernel, C=C, n_chunks=n_chunks,
-                          precision=_PREC),
-        grid=(B, m_pad // tq, n_chunks),
+                          prune=prune, precision=_PREC),
+        grid=(B, n_tiles, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 4, tq), lambda b, t, c: (b, 0, t),
                          memory_space=pltpu.VMEM),
@@ -342,8 +495,11 @@ def _interp_fwd_big(p1, p2, f2, interpret):
                         pltpu.VMEM((1, tq), jnp.float32)],
         compiler_params=_params(),
         interpret=interpret,
-    )(qT, buf)
-    return out[:, :N1], aux[:, 0, :N1], aux[:, 1, :N1]
+    )(qT4, buf)
+    out_s = out[:, :N1]
+    if perm1 is not None:
+        out_s = _gather_n(out_s, inv1)
+    return out_s, (p1s, p2s, aux[:, 0, :N1], aux[:, 1, :N1], perm1, inv2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -410,8 +566,7 @@ def _interp_fwd_impl(p1, p2, f2, interpret):
     _, N2, C = f2.shape
     n_pad, cs = _shapes_sup(N2)
     if _buf_vmem_bytes(n_pad, C) > _SUP_VMEM_BUDGET:
-        out, thr, wsum = _interp_fwd_big(p1, p2, f2, interpret)
-        return out, (p1, p2, thr, wsum, None, None)
+        return _interp_fwd_big(p1, p2, f2, interpret)
     if not _sort_on(n_pad, cs):
         out, thr, wsum = _run_fwd_kernel(p1, p2, f2, interpret)
         return out, (p1, p2, thr, wsum, None, None)

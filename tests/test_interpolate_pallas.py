@@ -111,7 +111,34 @@ def test_fused_interp_big_path_matches(rng, monkeypatch):
     big = IP.three_interpolation_fused(p1, p2, f2, True)
     close = np.isclose(np.asarray(big), np.asarray(small),
                        rtol=1e-4, atol=1e-4).all(-1)
-    # thresholds come from different selection kernels: a best-2-per-bin
-    # overflow in the big kNN admits an extra (tied-weight) neighbor on a
-    # handful of points
+    # near-ties at the 3rd distance may admit an extra (tied-weight)
+    # neighbor on a handful of points (docs/DEVIATIONS.md §11)
     assert close.mean() >= 0.995, f"{1 - close.mean():.4f} rows differ"
+
+
+def test_fused_interp_big_path_multi_tile_grad(rng, monkeypatch):
+    """Big path with several query tiles + padded queries + B=2 (the pruned
+    seed/scan threshold kernels and the chunked accumulation), forward AND
+    backward, vs the resident kernel."""
+    import amcontrast3d_tpu.ops.interpolate_pallas as IP
+    p1 = jnp.asarray(rng.rand(2, 3300, 3).astype(np.float32) * 3)
+    p2 = jnp.asarray(rng.rand(2, 4100, 3).astype(np.float32) * 3)
+    f2 = jnp.asarray(rng.randn(2, 4100, 12).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(2, 3300, 12).astype(np.float32))
+
+    def loss(f_):
+        return jnp.sum((IP.three_interpolation_fused(p1, p2, f_, True)
+                        - tgt) ** 2)
+
+    out_res = IP.three_interpolation_fused(p1, p2, f2, True)
+    g_res = jax.grad(loss)(f2)
+    monkeypatch.setattr(IP, "_SUP_VMEM_BUDGET", 1)   # force the big path
+    monkeypatch.setattr(IP, "_BIG_TQ", 1024)         # several tiles + pad
+    out_big = IP.three_interpolation_fused(p1, p2, f2, True)
+    g_big = jax.grad(loss)(f2)
+    rows = np.isclose(np.asarray(out_big), np.asarray(out_res),
+                      rtol=1e-4, atol=1e-4).all(-1)
+    assert rows.mean() >= 0.995, f"{1 - rows.mean():.4f} fwd rows differ"
+    grows = np.isclose(np.asarray(g_big), np.asarray(g_res),
+                       rtol=1e-3, atol=1e-3).all(-1)
+    assert grows.mean() >= 0.99, f"{1 - grows.mean():.4f} grad rows differ"

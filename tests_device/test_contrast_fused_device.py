@@ -132,6 +132,26 @@ def test_fused_interp_compiled(rng):
     assert close.mean() >= 0.999, f"{1 - close.mean():.5f} mismatched"
 
 
+def test_fused_interp_big_pruned_compiled(rng):
+    """Compiled pruned large-support interp path (seed/scan 3rd-NN kernels
+    + chunk-skipped accumulation — the whole-room ladder configuration) vs
+    the resident kernel at a shape where both compile."""
+    import amcontrast3d_tpu.ops.interpolate_pallas as IP
+
+    p1 = jnp.asarray(rng.rand(1, 98304, 3).astype(np.float32) * 8)
+    p2 = jnp.asarray(rng.rand(1, 24576, 3).astype(np.float32) * 8)
+    f2 = jnp.asarray(rng.randn(1, 24576, 32).astype(np.float32))
+    res = np.asarray(IP.three_interpolation_fused(p1, p2, f2, False))
+    orig = IP._SUP_VMEM_BUDGET
+    IP._SUP_VMEM_BUDGET = 1
+    try:
+        big = np.asarray(IP.three_interpolation_fused(p1, p2, f2, False))
+    finally:
+        IP._SUP_VMEM_BUDGET = orig
+    rows = np.isclose(big, res, rtol=1e-4, atol=1e-4).all(-1)
+    assert rows.mean() >= 0.995, f"{1 - rows.mean():.4f} rows differ"
+
+
 def test_fused_interp_bwd_chunked_compiled(rng):
     """Compiled query-chunked interp backward (the ScanNet-recipe fp0 shape
     class: qbuf beyond the 32 MB residency gate) vs the resident kernel at a
