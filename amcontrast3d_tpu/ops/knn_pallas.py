@@ -42,6 +42,14 @@ def _perm(n: int) -> np.ndarray:
 
 _INF = 1e10
 _BIGI = 1 << 30
+
+
+def _ball_prune_on() -> bool:
+    """Slab-sorted chunk pruning for the large-N ball query (exact
+    membership; k-subset under overflow follows the slab-shuffled priority
+    order — same deviation class as the uniform permutation)."""
+    import os
+    return os.environ.get("AMC3D_BALL_PRUNED", "auto") != "off"
 TQ = 256          # query tile
 BIN = 128         # support bin (lane width)
 CS = 2048         # support chunk per inner step
@@ -213,10 +221,15 @@ def _ball_kernel_value(q_ref, s_ref, od_ref, d2_ref, cd_ref, *, k: int,
         cd_ref[:] = jnp.where(cand == m, _INF, cand)
 
 
-def _ball_kernel_value_big(q_ref, s_ref, od_ref, cd_ref, *, k: int,
-                           n_chunks: int, cs: int, radius2: float):
+def _ball_kernel_value_big(q_ref, s_ref, slack_ref, od_ref, cd_ref, *,
+                           k: int, n_chunks: int, cs: int, radius2: float,
+                           prune: bool):
     """Large-N value-only ball query (support chunks on the grid, as
-    _knn_kernel_big)."""
+    _knn_kernel_big).  With slab-sorted support (prune=True), chunks whose
+    box-to-box lower bound exceeds r² (+ extent-derived absolute fp32
+    slack) contain no in-ball point for any query in the tile — their
+    candidate rows are filled with a sentinel and the d²/bin work skipped
+    (exact: membership is unchanged)."""
     c = pl.program_id(2)
     q = q_ref[0]
     tq = q.shape[0]
@@ -226,17 +239,41 @@ def _ball_kernel_value_big(q_ref, s_ref, od_ref, cd_ref, *, k: int,
     sx = s_ref[0, 0:1, :]
     sy = s_ref[0, 1:2, :]
     sz = s_ref[0, 2:3, :]
-    d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
-    col_g = (lax.broadcasted_iota(jnp.int32, (tq, cs), 1)
-             + c * cs).astype(jnp.float32)
-    v = jnp.where(d2 < radius2, col_g, _INF + col_g)
-    ms = []
-    for b in range(nbc):
-        blk = v[:, b * BIN:(b + 1) * BIN]
-        m1 = jnp.min(blk, axis=1, keepdims=True)
-        m2 = jnp.min(jnp.where(blk == m1, _INF, blk), axis=1, keepdims=True)
-        ms.extend([m1, m2])
-    cd_ref[pl.ds(c, 1), :, :] = jnp.concatenate(ms, axis=1)[None]
+
+    def _cands():
+        d2 = (qx - sx) ** 2 + (qy - sy) ** 2 + (qz - sz) ** 2
+        col_g = (lax.broadcasted_iota(jnp.int32, (tq, cs), 1)
+                 + c * cs).astype(jnp.float32)
+        v = jnp.where(d2 < radius2, col_g, _INF + col_g)
+        ms = []
+        for b in range(nbc):
+            blk = v[:, b * BIN:(b + 1) * BIN]
+            m1 = jnp.min(blk, axis=1, keepdims=True)
+            m2 = jnp.min(jnp.where(blk == m1, _INF, blk), axis=1,
+                         keepdims=True)
+            ms.extend([m1, m2])
+        cd_ref[pl.ds(c, 1), :, :] = jnp.concatenate(ms, axis=1)[None]
+
+    if prune:
+        lb = 0.0
+        for lo, hi, qc in ((jnp.min(sx), jnp.max(sx), qx),
+                           (jnp.min(sy), jnp.max(sy), qy),
+                           (jnp.min(sz), jnp.max(sz), qz)):
+            gap = jnp.maximum(
+                jnp.maximum(lo - jnp.max(qc), jnp.min(qc) - hi), 0.0)
+            lb = lb + gap * gap
+        hit = lb <= radius2 + slack_ref[0, 0]
+
+        @pl.when(hit)
+        def _():
+            _cands()
+
+        @pl.when(jnp.logical_not(hit))
+        def _():
+            cd_ref[pl.ds(c, 1), :, :] = jnp.full(
+                (1, tq, 2 * nbc), 2.0 * _INF, jnp.float32)
+    else:
+        _cands()
 
     @pl.when(c == n_chunks - 1)
     def _extract():
@@ -317,7 +354,8 @@ def _call_kernel(q, planes, k, n_pad, B, m_pad_unused=None, radius2=None,
     )(q, planes)
 
 
-def _call_ball_value(q, planes, k, n_pad, B, radius2, interpret=False):
+def _call_ball_value(q, planes, k, n_pad, B, radius2, interpret=False,
+                     slack=None):
     kpad = -(-k // BIN) * BIN
     big = n_pad > _BIG_N
     tile = TQ_BIG if big else TQ
@@ -327,9 +365,12 @@ def _call_ball_value(q, planes, k, n_pad, B, radius2, interpret=False):
         q = jnp.pad(q, ((0, 0), (0, m_pad - M), (0, 0)))
     if big:
         n_chunks = n_pad // CS_BIG
+        prune = slack is not None
+        if slack is None:
+            slack = jnp.zeros((1, 1), jnp.float32)
         kern = functools.partial(_ball_kernel_value_big, k=k,
                                  n_chunks=n_chunks, cs=CS_BIG,
-                                 radius2=radius2)
+                                 radius2=radius2, prune=prune)
         return pl.pallas_call(
             kern,
             grid=(B, m_pad // tile, n_chunks),
@@ -337,6 +378,8 @@ def _call_ball_value(q, planes, k, n_pad, B, radius2, interpret=False):
                 pl.BlockSpec((1, tile, 3), lambda b, t, c: (b, t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 3, CS_BIG), lambda b, t, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda b, t, c: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, tile, kpad), lambda b, t, c: (b, t, 0),
@@ -347,7 +390,7 @@ def _call_ball_value(q, planes, k, n_pad, B, radius2, interpret=False):
                            jnp.float32),
             ],
             interpret=interpret,
-        )(q, planes)
+        )(q, planes, slack)
     kern = functools.partial(_ball_kernel_value, k=k, n_pad=n_pad,
                              radius2=radius2)
     return pl.pallas_call(
@@ -413,6 +456,54 @@ def ball_query_pallas(support: jnp.ndarray, query: jnp.ndarray, radius: float,
     the CUDA kernel's padding (ball_query_gpu.cu:40-47)."""
     B, N, _ = support.shape
     M = query.shape[1]
+
+    if N > _BIG_N and _ball_prune_on():
+        # Pruned large-N layout: kd-sort into CS_BIG coordinate slabs
+        # (tight chunk bboxes → exact r² chunk skipping) with a FIXED
+        # permutation WITHIN each slab — best-2-per-128-lane-bin candidate
+        # capacity needs spatially uniform bins, which a fully sorted
+        # layout would destroy (a ball would land in 1-2 bins and overflow
+        # them).  Selection priority becomes the slab-shuffled position —
+        # same documented deviation class as the uniform permutation (the
+        # k-subset under ball overflow differs from CUDA's scan order).
+        from .contrast_pallas import _kd_sort, _morton_sort
+
+        n_pad = -(-N // CS_BIG) * CS_BIG
+        ps, perm_kd, _ = _kd_sort(support, n_pad, CS_BIG)
+        if n_pad != N:
+            ps = jnp.pad(ps, ((0, 0), (0, n_pad - N), (0, 0)),
+                         constant_values=1e4)
+            perm_kd = jnp.pad(perm_kd, ((0, 0), (0, n_pad - N)))
+        wp = _perm(CS_BIG)
+        wix = jnp.asarray(
+            (np.arange(n_pad, dtype=np.int64) // CS_BIG * CS_BIG
+             + np.tile(wp, n_pad // CS_BIG)).astype(np.int32))
+        sup = jnp.take(ps, wix, axis=1)          # static-index take (sound)
+        perm_total = jnp.take(perm_kd, wix, axis=1)      # (B, n_pad)
+        planes = jnp.transpose(sup, (0, 2, 1))
+        # absolute fp32 slack for the skip bound (~32 ulp at the squared
+        # coordinate magnitude — the pruned-FPS precedent: a relative
+        # bound is unsafe at small distances)
+        m_ext = jnp.maximum(jnp.max(jnp.abs(support)), 1.0)  # real rows only
+        slack = (32.0 * 1.2e-7 * m_ext * m_ext).reshape(1, 1)
+
+        # Morton-sort the queries so each TQ_BIG tile is spatially local —
+        # pruning compares tile-box to chunk-box, and an unsorted tile
+        # spans the whole cloud (measured: zero chunks skipped).  Positions
+        # are sort-carried; the output rows are un-sorted afterwards
+        # (kernel-output gathers are sound on this platform).
+        qs, _, inv_q = _morton_sort(query)
+        od = _call_ball_value(qs, planes, k, n_pad, B,
+                              radius2=float(radius) ** 2,
+                              interpret=interpret,
+                              slack=slack.astype(jnp.float32))
+        od = jnp.take_along_axis(od[:, :M, :k], inv_q[..., None], axis=1)
+        valid = od < _INF
+        oi = jnp.clip(od.astype(jnp.int32), 0, n_pad - 1)
+        oi = jnp.take_along_axis(perm_total, oi.reshape(B, -1),
+                                 axis=1).reshape(B, M, k).astype(jnp.int32)
+        first = jnp.where(valid[..., :1], oi[..., :1], 0)
+        return jnp.where(valid, oi, first)
 
     perm = jnp.asarray(_perm(N))
     sup = jnp.take(support, perm, axis=1)

@@ -46,3 +46,67 @@ def test_ball_query_pallas_empty_ball():
     idx = np.asarray(ball_query_pallas(jnp.asarray(sup), jnp.asarray(q),
                                        0.1, 4, interpret=True))
     assert np.all(idx == 0)  # reference zero-init semantics
+
+
+def test_ball_query_pruned_big_membership(rng, monkeypatch):
+    """Slab-sorted pruned large-N path: exact in-ball membership (set
+    equality vs the oracle when the ball holds ≤ k points; a valid k-subset
+    under overflow)."""
+    import amcontrast3d_tpu.ops.knn_pallas as KP
+    monkeypatch.setattr(KP, "_BIG_N", 4096)   # force the big path
+    sup = jnp.asarray(rng.rand(1, 9000, 3).astype(np.float32) * 4)
+    q = jnp.asarray(rng.rand(1, 700, 3).astype(np.float32) * 4)
+    r, k = 0.25, 16
+    idx = np.asarray(KP.ball_query_pallas(sup, q, r, k, interpret=True))
+    d = ((np.asarray(q)[0][:, None] - np.asarray(sup)[0][None]) ** 2).sum(-1)
+    hits = want = 0
+    for i in range(700):
+        members = set(np.where(d[i] < r * r)[0].tolist())
+        got = idx[0, i].tolist()
+        if not members:
+            assert got == [0] * k
+            continue
+        gset = set(got)
+        # every returned slot must be a true in-ball point (soundness);
+        # completeness is best-2-per-128-lane-bin capped (the documented
+        # big-path approximation), so assert recall, not set equality
+        assert gset <= members, f"query {i}: {gset - members} not in ball"
+        hits += len(gset)
+        want += min(len(members), k)
+    assert hits / want >= 0.99, f"ball recall {hits / want:.4f}"
+
+
+def test_ball_query_pruned_big_empty_and_gate(rng, monkeypatch):
+    """All-empty balls return zeros through the pruned path (every chunk
+    skipped → sentinel candidates), and AMC3D_BALL_PRUNED=off falls back to
+    the uniform-permutation path with identical membership."""
+    import amcontrast3d_tpu.ops.knn_pallas as KP
+    monkeypatch.setattr(KP, "_BIG_N", 4096)
+    sup = np.zeros((1, 9000, 3), np.float32)
+    sup[0, :, 0] = np.linspace(0, 100, 9000)
+    far = np.full((1, 64, 3), -50.0, np.float32)
+    idx = np.asarray(KP.ball_query_pallas(jnp.asarray(sup), jnp.asarray(far),
+                                          0.1, 4, interpret=True))
+    assert np.all(idx == 0)
+
+    supr = jnp.asarray(rng.rand(1, 9000, 3).astype(np.float32) * 4)
+    q = supr[:, :64]
+    on = np.asarray(KP.ball_query_pallas(supr, q, 0.3, 12, interpret=True))
+    monkeypatch.setenv("AMC3D_BALL_PRUNED", "off")
+    KP.ball_query_pallas._clear_cache()   # env gate is read at trace time
+    off = np.asarray(KP.ball_query_pallas(supr, q, 0.3, 12, interpret=True))
+    KP.ball_query_pallas._clear_cache()
+    d = ((np.asarray(q)[0][:, None] - np.asarray(supr)[0][None]) ** 2).sum(-1)
+
+    def recall(res):
+        hits = want = 0
+        for i in range(64):
+            members = set(np.where(d[i] < 0.09)[0].tolist())
+            gset = set(res[0, i].tolist())
+            assert gset <= members
+            hits += len(gset)
+            want += min(len(members), 12)
+        return hits / want
+
+    # both layouts meet the same recall bar (capacity class is unchanged)
+    assert recall(on) >= 0.98 and recall(off) >= 0.98

@@ -138,6 +138,46 @@ def test_ball_query_compiled_membership(rng):
         f"missed {missed}/{total_small} in-ball points"
 
 
+def test_ball_query_big_pruned_compiled(rng):
+    """Compiled slab-sorted pruned large-N ball query (the whole-room rung
+    configuration, N > _BIG_N): soundness (every slot in-ball) + recall at
+    least matching the unpruned uniform-permutation layout."""
+    import amcontrast3d_tpu.ops.knn_pallas as KP
+
+    sup = _clouds(rng, 1, 98304, scale=6.0)
+    q = sup[:, ::4][:, :16384]
+    radius, k = 0.15, 32
+    on = np.asarray(KP.ball_query_pallas(sup, q, radius, k))
+    import os
+    os.environ["AMC3D_BALL_PRUNED"] = "off"
+    KP.ball_query_pallas._clear_cache()
+    try:
+        off = np.asarray(KP.ball_query_pallas(sup, q, radius, k))
+    finally:
+        del os.environ["AMC3D_BALL_PRUNED"]
+        KP.ball_query_pallas._clear_cache()
+
+    sup_np, q_np = np.asarray(sup)[0], np.asarray(q)[0]
+    rs = np.random.RandomState(3)
+    rec = {"on": [0, 0], "off": [0, 0]}
+    for i in rs.choice(q_np.shape[0], 256, replace=False):
+        d = ((q_np[i] - sup_np) ** 2).sum(-1)
+        loose = set(np.where(d < radius ** 2 * (1 + 1e-4))[0].tolist())
+        strict = np.where(d < radius ** 2 * (1 - 1e-4))[0]
+        if len(loose) == 0:
+            assert (on[0, i] == 0).all() and (off[0, i] == 0).all()
+            continue
+        for name, res in (("on", on), ("off", off)):
+            gset = set(res[0, i].tolist())
+            assert gset <= loose, f"{name}: {gset - loose} out of ball"
+            rec[name][0] += len(gset & set(strict.tolist()))
+            rec[name][1] += min(len(strict), k)
+    r_on = rec["on"][0] / max(rec["on"][1], 1)
+    r_off = rec["off"][0] / max(rec["off"][1], 1)
+    assert r_on >= 0.97 and r_on >= r_off - 0.02, \
+        f"pruned recall {r_on:.4f} vs unpruned {r_off:.4f}"
+
+
 def _np_fps(pts, npoint):
     """fp64 numpy FPS oracle — min-index tie-break like the kernels."""
     pts = pts.astype(np.float64)
