@@ -195,6 +195,13 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
     subclouds → model → scatter-mean voting → global CM (+ optional
     boundary/inner and ambiguity-bucket CMs)."""
     predict = runner.predict_fn()
+    # Multi-device test: score n_devices voxel-rank subclouds per dispatch
+    # (the reference disallows multi-GPU testing outright, main_AA.py:362-363;
+    # voting sums are order-independent so the result is unchanged).
+    use_sharded = (getattr(runner, "mesh", None) is not None
+                   and bool(cfg.get("test_sharded", True)))
+    n_dev = int(runner.mesh.devices.size) if use_sharded else 1
+    predict_sharded = runner.predict_sharded_fn() if n_dev > 1 else None
     aargs = dict(cfg.get("ambiguity_args", {}) or {})
     miou_b_i = bool(aargs.get("miou_B_I", False))
     action = bool(aargs.get("action", False))
@@ -220,7 +227,8 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
         nearest_neighbor = len(idx_points) == 1 and voxel_idx is not None and \
             cfg.get("test_mode", "multi_voxel") == "nearest_neighbor"
 
-        sub_logits_cache = None
+        # phase 1 — host prep of every voxel-rank subcloud
+        parts = []
         for idx_part in idx_points:
             coord_part = coord[idx_part].copy()
             coord_part -= coord_part.min(0)
@@ -233,11 +241,38 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
             n = len(idx_part)
             nb = bucket_size(n, cfg.get("eval_bucket", 8192))
             data = pad_cloud(data, nb)
-            batch = {
-                "pos": data["pos"][None],
-                "x": np.asarray(get_features_by_keys(data, cfg.feature_keys))[None],
-            }
-            logits = np.asarray(predict(state, jax.device_put(batch)))[0, :n]
+            parts.append((idx_part, n, nb, data["pos"],
+                          np.asarray(get_features_by_keys(data,
+                                                          cfg.feature_keys))))
+
+        # phase 2 — score: same-bucket parts ride the mesh n_dev at a time
+        part_logits = [None] * len(parts)
+        by_nb: Dict[int, List[int]] = {}
+        for j, p in enumerate(parts):
+            by_nb.setdefault(p[2], []).append(j)
+        for nb in sorted(by_nb):
+            idxs = by_nb[nb]
+            if predict_sharded is not None and len(idxs) > 1:
+                for c0 in range(0, len(idxs), n_dev):
+                    chunk = idxs[c0:c0 + n_dev]
+                    # pad a partial chunk by repeating the last part (its
+                    # duplicate logits are simply not read back)
+                    sel = chunk + [chunk[-1]] * (n_dev - len(chunk))
+                    batch = {"pos": np.stack([parts[j][3] for j in sel]),
+                             "x": np.stack([parts[j][4] for j in sel])}
+                    logits = np.asarray(
+                        predict_sharded(state, runner.put_batch(batch)))
+                    for k, j in enumerate(chunk):
+                        part_logits[j] = logits[k, :parts[j][1]]
+            else:
+                for j in idxs:
+                    batch = {"pos": parts[j][3][None], "x": parts[j][4][None]}
+                    part_logits[j] = np.asarray(
+                        predict(state, jax.device_put(batch)))[0, :parts[j][1]]
+
+        # phase 3 — scatter-mean voting (order-independent sums)
+        sub_logits_cache = None
+        for (idx_part, n, _, _, _), logits in zip(parts, part_logits):
             np.add.at(vote_sum, idx_part, logits)
             np.add.at(vote_cnt, idx_part, 1.0)
             sub_logits_cache = (idx_part, logits)

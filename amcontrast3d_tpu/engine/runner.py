@@ -27,7 +27,8 @@ from ..utils.summary import SummaryWriter
 from ..data.data_util import bucket_size, pad_cloud
 from .train import (build_tx, create_train_state, make_eval_step,
                     make_predict_step, make_sharded_eval_step,
-                    make_sharded_train_step, make_train_step)
+                    make_sharded_predict_step, make_sharded_train_step,
+                    make_train_step)
 
 KIND_TO_CRITERION_KEY = {"base": "criterion_args",
                          "aa": "criterion_args_Ace",
@@ -125,6 +126,14 @@ class Runner:
         if "predict" not in self._steps:
             self._steps["predict"] = jax.jit(make_predict_step(self.model))
         return self._steps["predict"]
+
+    def predict_sharded_fn(self):
+        """Batch-sharded logits-only forward over the device mesh — lets the
+        whole-scene test score ``n_devices`` subclouds per dispatch."""
+        if "predict_sharded" not in self._steps:
+            self._steps["predict_sharded"] = make_sharded_predict_step(
+                make_predict_step(self.model), self.mesh)
+        return self._steps["predict_sharded"]
 
     def put_batch(self, batch):
         if self.distributed:

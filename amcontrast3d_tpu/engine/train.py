@@ -228,3 +228,20 @@ def make_sharded_eval_step(step_fn: Callable, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_predict_step(step_fn: Callable, mesh: Mesh,
+                              axis_name: str = "dp") -> Callable:
+    """Batch-sharded logits-only forward: stacks independent eval subclouds
+    on the batch axis and splits them over the mesh.  Used by the whole-scene
+    voting test to score ``n_devices`` voxel-rank subclouds per dispatch —
+    a capability the reference explicitly lacks (multi-GPU testing is
+    disallowed, ``main_AA.py:362-363``)."""
+    shard_map = _get_shard_map()
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

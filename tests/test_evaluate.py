@@ -96,6 +96,36 @@ def test_whole_scene_voting_end_to_end(rng):
     assert results["cm"].total > 0
 
 
+def test_whole_scene_sharded_matches_serial(rng):
+    """Multi-device whole-scene test (subclouds sharded over the mesh) must
+    reproduce the single-device voting result — a capability the reference
+    explicitly lacks (multi-GPU testing disallowed, main_AA.py:362-363)."""
+    from amcontrast3d_tpu.data import build_dataloader_from_cfg
+
+    cfg = _cfg()
+    cfg.ambiguity_args.miou_B_I = False
+    cfg.ambiguity_args.action = False
+    data_list = generate_data_list(cfg)
+
+    results = {}
+    for dist in (False, True):
+        cfg_leg = EasyConfig()
+        cfg_leg.update({**cfg, "distributed": dist})
+        runner = Runner(cfg_leg, kind="aa")
+        loader = build_dataloader_from_cfg(1, cfg_leg.dataset, None,
+                                           cfg_leg.datatransforms, split="val")
+        cfg_leg.steps_per_epoch = 1
+        state = runner.build_state(_prep_batch(next(iter(loader)), cfg_leg))
+        if dist:
+            assert runner.mesh is not None and runner.mesh.devices.size == 8
+        results[dist] = run_whole_scenes(runner, state, data_list, cfg_leg)
+
+    # same params (same seed) → identical confusion matrices
+    assert np.array_equal(results[False]["cm"].value,
+                          results[True]["cm"].value)
+    assert results[False]["miou"] == results[True]["miou"]
+
+
 def test_validate_boundary_inner_path(rng):
     """Runner validation with the miou_B_I flag (↔ validate_boundary_inner,
     main_AA.py:431-513)."""
