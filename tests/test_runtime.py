@@ -159,3 +159,65 @@ def test_get_mious_matches_cm():
     miou2, macc2, oa2, _, _ = cm.all_metrics()
     np.testing.assert_allclose(miou, miou2, atol=0.01)
     np.testing.assert_allclose(oa, oa2, atol=0.01)
+
+
+def test_part_seg_metrics_match_reference():
+    """partnet/shapenetpart scoring parity vs the literal reference
+    implementations (utils/metrics.py:186-320) on random predictions."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    from amcontrast3d_tpu.utils import (IoU_from_confusions, partnet_metrics,
+                                        shapenetpart_metrics)
+
+    ref_path = "/root/reference/openpoints/utils/metrics.py"
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference checkout not available")
+    spec = importlib.util.spec_from_file_location("ref_metrics", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.RandomState(7)
+    num_classes = 3
+    num_parts = [4, 3, 5]
+    n_shapes, n_pts = 12, 200
+    objects = [int(rng.randint(num_classes)) for _ in range(n_shapes)]
+    preds = [rng.rand(num_parts[o], n_pts).astype(np.float32)
+             for o in objects]
+    targets = [rng.randint(0, num_parts[o], n_pts) for o in objects]
+    masks = [rng.rand(n_pts) < 0.9 for _ in objects]
+
+    got = partnet_metrics(num_classes, num_parts, objects,
+                          [p.copy() for p in preds],
+                          [t.copy() for t in targets])
+    want = ref.partnet_metrics(num_classes, num_parts, objects,
+                               [p.copy() for p in preds],
+                               [t.copy() for t in targets])
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-6)
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-6)
+    assert abs(got[2] - want[2]) < 1e-6 and abs(got[3] - want[3]) < 1e-6
+
+    conf = rng.randint(0, 50, (6, 4, 4))
+    np.testing.assert_allclose(IoU_from_confusions(conf),
+                               ref.IoU_from_confusions(conf), rtol=1e-6)
+
+    # the reference's np.array(Confs) requires equal part counts per shape
+    # (ragged lists crash it); ours handles ragged too, so compare on the
+    # homogeneous case the reference supports
+    num_parts_eq = [4, 4, 4]
+    preds_eq = [rng.rand(4, n_pts).astype(np.float32) for _ in objects]
+    targets_eq = [rng.randint(0, 4, n_pts) for _ in objects]
+    got = shapenetpart_metrics(num_classes, num_parts_eq, objects,
+                               [p.copy() for p in preds_eq],
+                               [t.copy() for t in targets_eq],
+                               [m.copy() for m in masks])
+    want = ref.shapenetpart_metrics(num_classes, num_parts_eq, objects,
+                                    [p.copy() for p in preds_eq],
+                                    [t.copy() for t in targets_eq],
+                                    [m.copy() for m in masks])
+    assert abs(got[0] - want[0]) < 1e-9
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-6)
+    assert abs(got[2] - want[2]) < 1e-6 and abs(got[3] - want[3]) < 1e-6
