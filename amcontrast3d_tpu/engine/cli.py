@@ -59,7 +59,9 @@ def main_cli(kind: str, argv=None):
         yaml.safe_dump(cfg.dict(), f)
 
     runner = Runner(cfg, kind=kind)
-    if mode in ("train", "resume"):
+    # any non-eval mode trains: 'train', 'resume', and the finetune family
+    # ('finetune', 'finetune_encoder', '*freeze_blocks*' — main_AA.py:229-241)
+    if mode not in ("val", "val_train", "test"):
         if args.profile:
             # TPU-native tracing (↔ examples/profile.py's deepspeed profiler):
             # a jax.profiler trace of the first epochs, viewable in
@@ -115,4 +117,3 @@ def main_cli(kind: str, argv=None):
         miou, macc, oa, ious, accs = runner.validate(state, loader)
         logging.info("%s: mIoU %.2f mACC %.2f OA %.2f", mode, miou, macc, oa)
         return {"miou": miou, "macc": macc, "oa": oa}
-    raise ValueError(f"unknown mode {mode}")

@@ -72,6 +72,26 @@ class Runner:
         self._steps = {}
 
     # ------------------------------------------------------------------
+    def _freeze_labels(self):
+        """Param→{'trainable','frozen'} labeler for freeze-finetune modes
+        (↔ ``'freeze_blocks' in cfg.mode`` freezing ``encoder.blocks``,
+        main_AA.py:239-241).  ``cfg.freeze_re`` overrides the path regex."""
+        import re
+        pattern = self.cfg.get("freeze_re")
+        if pattern is None and "freeze_blocks" in str(self.cfg.get("mode", "")):
+            pattern = r"encoder/.*block"
+        if not pattern:
+            return None
+        rx = re.compile(pattern)
+
+        def labels(params):
+            from flax.traverse_util import flatten_dict, unflatten_dict
+            flat = flatten_dict(params)
+            return unflatten_dict(
+                {k: ("frozen" if rx.search("/".join(map(str, k)))
+                     else "trainable") for k in flat})
+        return labels
+
     def build_state(self, example_batch):
         steps_per_epoch = self.cfg.get("steps_per_epoch", 1)
         sched = as_step_schedule(self.lr_fn, steps_per_epoch,
@@ -85,7 +105,8 @@ class Runner:
                          .get("depth", 12)))
         self.plateau = getattr(self.lr_fn, "plateau", None)
         self._tx = build_tx(opt_cfg, sched, self.cfg.get("grad_norm_clip"),
-                            plateau=self.plateau is not None)
+                            plateau=self.plateau is not None,
+                            param_labels=self._freeze_labels())
         state = create_train_state(self.model, self._tx, example_batch,
                                    self.rng)
         if self.distributed:
@@ -160,14 +181,32 @@ class Runner:
         logging.info("Number of params: %.4f M", n_params / 1e6)
 
         start_epoch = cfg.get("start_epoch", 1)
-        if cfg.get("mode") == "resume" and cfg.get("pretrained_path"):
-            restored, _ = resume_checkpoint(cfg, {
-                "params": state.params, "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state})
-            state = state.replace(params=restored["params"],
-                                  batch_stats=restored["batch_stats"],
-                                  opt_state=restored["opt_state"])
-            start_epoch = cfg.start_epoch
+        mode = str(cfg.get("mode", "train"))
+        if cfg.get("pretrained_path"):
+            if mode == "resume":
+                restored, _ = resume_checkpoint(cfg, {
+                    "params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state})
+                state = state.replace(params=restored["params"],
+                                      batch_stats=restored["batch_stats"],
+                                      opt_state=restored["opt_state"])
+                start_epoch = cfg.start_epoch
+            else:
+                # finetune (↔ main_AA.py:229-236): model weights only —
+                # full model, or the encoder subtree when 'encoder' in mode
+                from ..utils.ckpt import load_checkpoint
+                module = "encoder" if "encoder" in mode else \
+                    cfg.get("pretrained_module")
+                logging.info("Finetuning from %s (module=%s)",
+                             cfg.pretrained_path, module)
+                restored, _, _ = load_checkpoint(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    cfg.pretrained_path, module=module)
+                state = state.replace(params=restored["params"],
+                                      batch_stats=restored["batch_stats"])
+        else:
+            logging.info("Training from scratch")
 
         step = self.train_step_fn()
         rngk = jax.random.PRNGKey((cfg.get("seed") or 0) + 1)

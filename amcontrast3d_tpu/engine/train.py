@@ -48,7 +48,7 @@ def create_train_state(model, tx, batch: Dict, rng) -> TrainState:
 
 
 def build_tx(optimizer_cfg, lr_schedule, grad_norm_clip: Optional[float] = None,
-             plateau: bool = False):
+             plateau: bool = False, param_labels=None):
     from ..optim import build_optimizer_from_cfg
     tx = build_optimizer_from_cfg(optimizer_cfg, lr=lr_schedule)
     if grad_norm_clip is not None and grad_norm_clip > 0:
@@ -59,6 +59,15 @@ def build_tx(optimizer_cfg, lr_schedule, grad_norm_clip: Optional[float] = None,
         # torch param-group LR change (scheduler/plateau_lr.py)
         from ..scheduler.plateau_lr import scale_by_plateau
         tx = optax.chain(tx, scale_by_plateau())
+    if param_labels is not None:
+        # frozen params (↔ requires_grad=False, main_AA.py:239-241): zero
+        # their grads BEFORE the chain (so they don't pollute the global-norm
+        # clip, matching torch's grad=None) and their updates AFTER it (so
+        # AdamW's unconditional weight decay can't drift them)
+        zero_frozen = optax.multi_transform(
+            {"trainable": optax.identity(), "frozen": optax.set_to_zero()},
+            param_labels)
+        tx = optax.chain(zero_frozen, tx, zero_frozen)
     return tx
 
 

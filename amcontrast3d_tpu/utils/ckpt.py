@@ -50,20 +50,74 @@ def save_checkpoint(cfg, state: Dict[str, Any], epoch: int,
     return path
 
 
-def load_checkpoint(template_state: Dict[str, Any], pretrained_path: str) -> Dict[str, Any]:
+def _merge_state_dicts(dst, src, prefix, missing, unexpected):
+    """strict=False merge (↔ ckpt_util.py:137-183): keep ``dst``'s structure,
+    take matching-shape leaves from ``src``, record mismatches."""
+    if not isinstance(dst, dict):
+        if src is None:
+            missing.append(prefix)
+            return dst
+        if np.shape(src) != np.shape(dst):
+            missing.append(f"{prefix} (shape {np.shape(src)} vs {np.shape(dst)})")
+            return dst
+        return np.asarray(src)
+    src = src if isinstance(src, dict) else {}
+    for k in src:
+        if k not in dst:
+            unexpected.append(f"{prefix}/{k}")
+    return {k: _merge_state_dicts(v, src.get(k), f"{prefix}/{k}",
+                                  missing, unexpected)
+            for k, v in dst.items()}
+
+
+def load_checkpoint(template_state: Dict[str, Any], pretrained_path: str,
+                    module: Optional[str] = None) -> Dict[str, Any]:
     """Load a checkpoint into the structure of ``template_state``.
 
-    Tolerant load (reference ``load_checkpoint`` ckpt_util.py:137-183): the
-    template provides the pytree structure; the stored msgpack is restored
-    onto it.  Returns ``(state, epoch, extras)``.
+    Tolerant load (reference ``load_checkpoint`` ckpt_util.py:137-183,
+    strict=False + optional submodule filter): the template provides the
+    pytree structure; the stored msgpack is restored onto it.  With
+    ``module`` (e.g. ``"encoder"``) only that top-level subtree of
+    ``params``/``batch_stats`` is taken from the checkpoint — the
+    encoder-only finetune path (``main_AA.py:229-232``).
+    Returns ``(state, epoch, extras)``.
     """
     if not os.path.exists(pretrained_path):
         raise FileNotFoundError(pretrained_path)
     with open(pretrained_path, "rb") as f:
         blob = pickle.load(f)
-    state = serialization.from_bytes(_to_host(template_state), blob["state"])
     extras = {k: v for k, v in blob.items() if k not in ("state",)}
-    logging.info("Loaded checkpoint %s (epoch %s)", pretrained_path, extras.get("epoch"))
+    template = _to_host(template_state)
+    if module is None:
+        try:
+            state = serialization.from_bytes(template, blob["state"])
+            logging.info("Loaded checkpoint %s (epoch %s)", pretrained_path,
+                         extras.get("epoch"))
+            return state, extras.get("epoch", 0), extras
+        except (ValueError, KeyError):
+            pass  # structure mismatch → tolerant merge below
+    raw = serialization.msgpack_restore(blob["state"])
+    state = dict(template)
+    missing, unexpected = [], []
+    for key, dst in template.items():
+        src = raw.get(key)
+        if key in ("params", "batch_stats") and isinstance(dst, dict):
+            if module is not None and isinstance(src, dict):
+                src = {module: src.get(module)}
+            state[key] = _merge_state_dicts(dst, src, key, missing, unexpected)
+        elif src is not None:
+            try:
+                state[key] = serialization.from_state_dict(dst, src)
+            except (ValueError, KeyError):
+                missing.append(key)
+    if missing:
+        logging.info("checkpoint keys kept from init (%d): %s ...",
+                     len(missing), missing[:5])
+    if unexpected:
+        logging.info("checkpoint keys unused (%d): %s ...",
+                     len(unexpected), unexpected[:5])
+    logging.info("Loaded checkpoint %s (epoch %s, module=%s)",
+                 pretrained_path, extras.get("epoch"), module)
     return state, extras.get("epoch", 0), extras
 
 

@@ -114,3 +114,94 @@ def test_profile_grouper_microbench():
     import examples.profile as prof
     out = prof.profile_grouper(batch_size=1, num_points=512, n_runs=2)
     assert out["grouper_ins_per_sec"] > 0
+
+
+def test_load_checkpoint_module_filter(tmp_path):
+    """Tolerant (strict=False) checkpoint load with submodule filter
+    (↔ ckpt_util.py:137-183 + the encoder-only finetune path,
+    main_AA.py:229-232)."""
+    from amcontrast3d_tpu.utils import EasyConfig
+    from amcontrast3d_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+
+    cfg = EasyConfig()
+    cfg.run_name = "unit"
+    cfg.ckpt_dir = str(tmp_path)
+    stored = {"params": {"encoder": {"w": np.ones((2, 2), np.float32)},
+                         "head": {"w": np.full((3,), 2.0, np.float32)},
+                         "extra": {"w": np.ones((4,), np.float32)}},
+              "batch_stats": {"encoder": {"m": np.ones((2,), np.float32)}}}
+    path = save_checkpoint(cfg, stored, epoch=7)
+
+    template = {"params": {"encoder": {"w": np.zeros((2, 2), np.float32)},
+                           "head": {"w": np.zeros((3,), np.float32)},
+                           "new": {"w": np.zeros((5,), np.float32)}},
+                "batch_stats": {"encoder": {"m": np.zeros((2,), np.float32)}}}
+    # module filter: ONLY the encoder subtree is taken from the checkpoint
+    got, epoch, _ = load_checkpoint(template, path, module="encoder")
+    assert epoch == 7
+    np.testing.assert_array_equal(got["params"]["encoder"]["w"],
+                                  np.ones((2, 2)))
+    np.testing.assert_array_equal(got["params"]["head"]["w"], np.zeros(3))
+    np.testing.assert_array_equal(got["batch_stats"]["encoder"]["m"],
+                                  np.ones(2))
+    # strict=False full load: matching keys land, template-only keys keep
+    # their init, checkpoint-only keys are ignored
+    got, _, _ = load_checkpoint(template, path)
+    np.testing.assert_array_equal(got["params"]["head"]["w"],
+                                  np.full(3, 2.0))
+    np.testing.assert_array_equal(got["params"]["encoder"]["w"],
+                                  np.ones((2, 2)))
+    np.testing.assert_array_equal(got["params"]["new"]["w"], np.zeros(5))
+
+
+def test_cli_finetune_modes(tiny_cfg, tmp_path):
+    """Finetune mode family (↔ main_AA.py:229-241): any non-eval mode with a
+    pretrained_path loads model weights (full model, or encoder-only when
+    'encoder' is in the mode string) and then trains."""
+    import glob
+
+    from amcontrast3d_tpu.engine.cli import main_cli
+
+    main_cli("aa", argv=["--cfg", tiny_cfg, "epochs=1"])
+    latest = glob.glob(str(tmp_path / "log" / "synthetic" / "*" /
+                           "checkpoint" / "*latest*.ckpt"))[0]
+    res = main_cli("aa", argv=["--cfg", tiny_cfg, "mode=finetune",
+                               f"pretrained_path={latest}", "epochs=1"])
+    assert np.isfinite(res["best_val"])
+    res = main_cli("aa", argv=["--cfg", tiny_cfg, "mode=finetune_encoder",
+                               f"pretrained_path={latest}", "epochs=1"])
+    assert np.isfinite(res["best_val"])
+
+
+def test_freeze_re_freezes_params(tiny_cfg):
+    """Frozen params stay bit-identical through a train step while the rest
+    move (↔ requires_grad=False on encoder blocks, main_AA.py:239-241)."""
+    import jax
+
+    from amcontrast3d_tpu.data import build_dataloader_from_cfg
+    from amcontrast3d_tpu.engine.runner import Runner, _prep_batch
+    from amcontrast3d_tpu.utils import EasyConfig
+
+    cfg = EasyConfig()
+    cfg.load(tiny_cfg, recursive=True)
+    cfg.mode = "finetune_freeze_blocks"
+    cfg.freeze_re = "encoder"  # freeze the whole encoder for the assertion
+    runner = Runner(cfg, kind="aa")
+    loader = build_dataloader_from_cfg(cfg.batch_size, cfg.dataset, None,
+                                       cfg.datatransforms, split="train",
+                                       seed=0)
+    cfg.steps_per_epoch = 1
+    batch = _prep_batch(next(iter(loader)), cfg)
+    state = runner.build_state(batch)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    step = runner.train_step_fn()
+    state2, _ = step(state, jax.device_put(batch), jax.random.PRNGKey(0))
+    after = jax.tree_util.tree_map(np.asarray, state2.params)
+
+    for b, a in zip(jax.tree_util.tree_leaves(before["encoder"]),
+                    jax.tree_util.tree_leaves(after["encoder"])):
+        np.testing.assert_array_equal(b, a)
+    moved = any(np.any(b != a) for b, a in
+                zip(jax.tree_util.tree_leaves(before["head"]),
+                    jax.tree_util.tree_leaves(after["head"])))
+    assert moved, "head params did not move"
