@@ -5,6 +5,7 @@ from .pointnext import (FeaturePropagation, InvResMLP, LocalAggregation,
                         SegHead, SetAbstraction)
 from . import apm  # noqa: F401  (registers APM modules)
 from . import pointnet, pointnetv2, pointvit, part_seg  # noqa: F401
+from . import group_embed  # noqa: F401  (registers PointPatchEmbed/P3Embed)
 from .base_seg import BaseSeg, BaseSeg_AMContrast3D, BaseSeg_M_AMContrast3D
 from .refine import dual_masks, map_multiply, map_sum, multiply
 

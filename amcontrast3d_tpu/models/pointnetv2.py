@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import (create_grouper, furthest_point_sample, gather_points,
@@ -179,3 +180,63 @@ class PointNet2Decoder(nn.Module):
             up_features[i] = f[i - 1]
             in_ch = mlp[-1]
         return f[-n - 1], up_features, jnp.zeros(())
+
+
+@MODELS.register_module()
+class PointNet2PartDecoder(nn.Module):
+    """↔ PointNet2PartDecoder (pointnetv2.py:384-511): FP stack where the
+    finest FP stage concatenates a 16-way one-hot shape label into the skip
+    features (``skip_channel_list[0] += 16``, forward ``:497-510``)."""
+    encoder_channel_list: Sequence[int]
+    fp_mlps: Any = None
+    decoder_layers: int = 1
+    in_channels_input: int = 3
+    num_classes: int = 16
+    norm_args: Any = None
+    act_args: Any = None
+    bn_axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        if self.fp_mlps is not None:
+            return list(self.fp_mlps)[0][-1]
+        return list(self.encoder_channel_list)[0]
+
+    @nn.compact
+    def __call__(self, p: List, f: List, cls_label, training: bool = False):
+        ecl = list(self.encoder_channel_list)
+        n = len(p) - 1
+        skip = [self.in_channels_input + self.num_classes] + ecl[:-1]
+        fp_out = [ecl[0]] + ecl[:-1]
+        if self.fp_mlps is not None:
+            fp_out = [list(m)[-1] for m in self.fp_mlps]
+        f = list(f)
+        in_ch = ecl[-1]
+        # deepest → level 1 (reference forward :498-501)
+        for i in range(-1, -n, -1):
+            mlp = [skip[i] + in_ch] + [fp_out[i]] * max(self.decoder_layers, 1)
+            f[i - 1] = FeaturePropagation(
+                mlp, norm_args=self.norm_args or {"norm": "bn"},
+                act_args=self.act_args or {"act": "relu"},
+                bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+                name=f"fp{n + i}",
+            )([p[i - 1], f[i - 1]], [p[i], f[i]], training=training)
+            in_ch = mlp[-1]
+        # level 0: one-hot class label broadcast over all N points and
+        # concatenated into the skip features (reference :502-509)
+        B, N = p[0].shape[0], p[0].shape[1]
+        onehot = jax.nn.one_hot(jnp.reshape(cls_label, (B,)),
+                                self.num_classes, dtype=jnp.float32)
+        onehot = jnp.broadcast_to(onehot[:, None, :],
+                                  (B, N, self.num_classes))
+        skip0 = jnp.concatenate([onehot, f[0]], axis=-1) \
+            if f[0] is not None else onehot
+        mlp0 = [skip[0] + in_ch] + [fp_out[0]] * max(self.decoder_layers, 1)
+        out = FeaturePropagation(
+            mlp0, norm_args=self.norm_args or {"norm": "bn"},
+            act_args=self.act_args or {"act": "relu"},
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            name="fp0",
+        )([p[0], skip0], [p[1], f[1]], training=training)
+        return out

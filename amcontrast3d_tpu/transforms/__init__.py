@@ -32,6 +32,22 @@ class PointsToTensor:
         return data
 
 
+@DataTransforms.register_module()
+class PointCloudToTensor:
+    """↔ point_transformer_gpu.py:18-32.  The reference torch version also
+    transposes ``normals``/``colors`` to channel-first; our pipeline is
+    channels-last end-to-end, so this is a float32 cast only."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, data):
+        for k in ("pos", "normals", "colors"):
+            if k in data and isinstance(data[k], np.ndarray):
+                data[k] = data[k].astype(np.float32)
+        return data
+
+
 # ---------------------------------------------------------------------------
 # geometry
 # ---------------------------------------------------------------------------
