@@ -365,10 +365,6 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
     csp = _PRUNE_CS
     n_chunks = -(-N // csp)
     n_pad = n_chunks * csp
-    L = max(128, min(2048, csp // 8))
-    assert csp % L == 0
-    rpc = csp // L
-    R = n_pad // L
 
     xyz = jnp.stack([x[0], y[0], z[0]], axis=-1)[None]       # (1, N, 3)
     ps, perm, inv = _kd_sort(xyz, n_pad, csp)
@@ -378,6 +374,26 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
             [ps, jnp.broadcast_to(ps[N - 1:N], (n_pad - N, 3))], axis=0)
         perm = jnp.concatenate(
             [perm, jnp.full((n_pad - N,), -1.0, jnp.float32)])
+    seed = (x[0, 0], y[0, 0], z[0, 0])
+    return _fps_pruned_core(ps, perm, seed, N, npoint, csp, interpret)
+
+
+def _fps_pruned_core(ps, perm, seed, N: int, npoint: int, csp: int,
+                     interpret: bool):
+    """Run the chunk-pruned sampler on ONE kd-sorted cloud.
+
+    ps (n_pad, 3) sorted+padded positions, perm (n_pad,) float32 original
+    indices (-1 on pad rows), seed = coords of ORIGINAL point 0 (the first
+    FPS pick).  Factored out of ``_fps_b1_pruned`` so the batched training
+    path can reuse it per cloud after ONE batched kd-sort (which CSEs with
+    the contrast kernels' sort of the same full-res positions)."""
+    n_pad = ps.shape[0]
+    n_chunks = n_pad // csp
+    L = max(128, min(2048, csp // 8))
+    assert csp % L == 0
+    rpc = csp // L
+    R = n_pad // L
+
     bb = ps.reshape(n_chunks, csp, 3)
     ncp = -(-n_chunks // 8) * 8
     blo = jnp.zeros((ncp, 8), jnp.float32).at[:n_chunks, :3].set(
@@ -391,8 +407,8 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
     mind = jnp.where(oidx >= 0.0, _INF, -1.0).astype(jnp.float32)
     # coords of original point 0 (the first FPS pick) seed the carry row
     last = (jnp.zeros((8, 128), jnp.float32)
-            .at[0, 0].set(x[0, 0]).at[1, 0].set(y[0, 0])
-            .at[2, 0].set(z[0, 0]))
+            .at[0, 0].set(seed[0]).at[1, 0].set(seed[1])
+            .at[2, 0].set(seed[2]))
     # absolute fp32 slack for the skip bound: ~32 ulp at the squared
     # coordinate magnitude (see kernel comment)
     m = jnp.maximum(jnp.max(jnp.abs(ps)), 1.0)
@@ -442,6 +458,60 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
     return _pin(out).T
 
 
+# ---------------------------------------------------------------------------
+# chunk-pruned B>1 variant (training shapes) — MEASURED LOSER, default off
+#
+# The dense batched kernel scans all B*N lanes every iteration; at the
+# flagship stage-1 shape (B=4, 24000 -> 6000 samples) that is ~12 ms of the
+# 13 ms FPS bucket.  This path kd-sorts the whole batch ONCE — with the
+# contrast kernels' (n_pad, cs) so XLA CSE merges it with the loss-side sort
+# of the same full-res positions (HLO-verified) — then runs the proven
+# pruned core per cloud.  Indices are bit-identical to the dense kernel
+# (device-verified at the flagship shape).
+#
+# Device A/B (v5e, B=4 x 24000 -> 6000, pipelined reps, one scalar fetch):
+# dense 15.1 ms vs pruned 74.1 ms — pruning LOSES 5x at training scale.
+# Serializing clouds through the B==1 core runs 4x6000 = 24000 sequential
+# iterations (vs 6000 lockstep), and at 2048-point chunks the per-iteration
+# O(n_chunks) scalar loop overhead dwarfs the lanes pruning saves; the
+# B==1 ladder win (1.8-118x at >=262k) needs 32k-point chunks to amortize.
+# Kept as a validated exact alternative (AMC3D_FPS_PRUNED_TRAIN=off|auto|on,
+# default off); don't re-litigate without a lockstep-batched stats kernel.
+# ---------------------------------------------------------------------------
+
+_PRUNED_TRAIN = _os.environ.get("AMC3D_FPS_PRUNED_TRAIN", "off")
+_PRUNED_TRAIN_MIN = int(_os.environ.get("AMC3D_FPS_PRUNED_TRAIN_MIN",
+                                        "16384"))
+
+
+def set_fps_pruned_train(mode: str):
+    global _PRUNED_TRAIN
+    assert mode in ("off", "auto", "on")
+    _PRUNED_TRAIN = mode
+
+
+def _fps_pruned_batched(xyz: jnp.ndarray, npoint: int, interpret: bool):
+    from .contrast_pallas import _kd_sort, _shapes
+
+    B, N, _ = xyz.shape
+    n_pad, cs, _ = _shapes(N)     # align with the contrast sort → CSE
+    ps, perm, _ = _kd_sort(xyz, n_pad, cs)
+    perm = perm.astype(jnp.float32)
+    if n_pad > N:
+        ps = jnp.concatenate(
+            [ps, jnp.broadcast_to(ps[:, N - 1:N], (B, n_pad - N, 3))],
+            axis=1)
+        perm = jnp.concatenate(
+            [perm, jnp.full((B, n_pad - N), -1.0, jnp.float32)], axis=1)
+    outs = [
+        _fps_pruned_core(ps[b], perm[b],
+                         (xyz[b, 0, 0], xyz[b, 0, 1], xyz[b, 0, 2]),
+                         N, npoint, cs, interpret)
+        for b in range(B)
+    ]
+    return jnp.concatenate(outs, axis=0)          # (B, npoint)
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                                  interpret: bool = False) -> jnp.ndarray:
@@ -455,6 +525,9 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                     and N >= 2 * _PRUNE_CS)):
             return _fps_b1_pruned(x, y, z, N, npoint, interpret)
         return _fps_b1(x, y, z, N, npoint, interpret)
+    if (_PRUNED_TRAIN == "on"
+            or (_PRUNED_TRAIN == "auto" and N >= _PRUNED_TRAIN_MIN)):
+        return _fps_pruned_batched(xyz, npoint, interpret)
     kernel = functools.partial(_fps_kernel, npoint=npoint)
     out = pl.pallas_call(
         kernel,

@@ -85,6 +85,31 @@ def test_pallas_fps_b1_pruned_matches_lax(rng, monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_fps_pruned_batched_matches_lax(rng, monkeypatch):
+    """Chunk-pruned B>1 training path: one batched kd-sort + the proven
+    pruned core per cloud must stay bit-identical to the lax oracle
+    (ragged N exercises the pad rows; CS forced small for multi-chunk)."""
+    import amcontrast3d_tpu.ops.contrast_pallas as CP
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(CP, "CS", 512)
+    monkeypatch.setattr(FP, "_PRUNED_TRAIN", "on")
+    xyz = jnp.asarray(rng.rand(3, 2990, 3).astype(np.float32) * 5)
+    a = np.asarray(furthest_point_sample(xyz, 400))
+    b = np.asarray(FP.furthest_point_sample_pallas(xyz, 400, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_fps_pruned_batched_single_chunk(rng, monkeypatch):
+    """Degenerate single-chunk shape (N <= CS) through the batched pruned
+    dispatch: pruning has nothing to skip but must stay exact."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    monkeypatch.setattr(FP, "_PRUNED_TRAIN", "on")
+    xyz = jnp.asarray(rng.rand(2, 700, 3).astype(np.float32) * 2)
+    a = np.asarray(furthest_point_sample(xyz, 175))
+    b = np.asarray(FP.furthest_point_sample_pallas(xyz, 175, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_fps_b1_pruned_ragged_multicall(rng, monkeypatch):
     """Ragged N (pad rows never selected) + multi-call splitting with the
     aliased (mind, last) state and per-call stats rebuild."""

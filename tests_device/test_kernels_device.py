@@ -263,6 +263,25 @@ def test_fps_composite_gather(rng):
         furthest_point_sample_pallas.clear_cache()
 
 
+def test_fps_pruned_batched_compiled_equivalent(rng):
+    """Chunk-pruned B>1 (training-shape) FPS on device: pick-for-pick
+    equality with the dense batched kernel at the flagship stage-1 shape
+    (B=4, 24000 -> 6000; the batched kd-sort + per-cloud pruned core must
+    preserve the dense kernel's lowest-original-index tie order)."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+    B, N, npoint = 4, 24000, 6000
+    xyz = _clouds(rng, B, N, scale=8.0)
+    got = np.asarray(jax.block_until_ready(jax.jit(
+        lambda p: FP._fps_pruned_batched(p, npoint, False))(xyz)))
+    dense = np.asarray(jax.block_until_ready(
+        furthest_point_sample_pallas(xyz, npoint)))
+    for b in range(B):
+        assert got[b, 0] == 0
+        assert len(set(got[b].tolist())) == npoint, "repeated FPS picks"
+        assert (got[b] == dense[b]).all(), \
+            f"b={b}: {int((got[b] != dense[b]).sum())} picks differ"
+
+
 def test_fps_pruned_compiled_valid_and_equivalent(rng):
     """Chunk-pruned B==1 FPS on device: exact pick-for-pick equality with
     the DENSE compiled kernel at an eval-ladder-like size (pruning is

@@ -18,7 +18,43 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def train_mode():
+    """A/B the batched training path: dense batched kernel vs the
+    chunk-pruned per-cloud core (B=4 x 24000 -> 6000, the flagship
+    stage-1 shape).  Timing follows the repo rule: chain iterations and
+    force ONE scalar fetch at the end."""
+    import amcontrast3d_tpu.ops.fps_pallas as FP
+
+    rng = np.random.RandomState(0)
+    B, N = 4, 24000
+    npoint = N // 4
+    xyz = jnp.asarray(rng.rand(B, N, 3).astype(np.float32)
+                      * np.array([8.0, 8.0, 3.0], np.float32))
+
+    def chain(fn, reps=8):
+        out = fn(xyz)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        p = xyz
+        for _ in range(reps):
+            idx = fn(p)
+            # chain: shift positions by a value derived from the output
+            p = p + 1e-12 * idx[:, :1, None].astype(jnp.float32)
+        float(jnp.sum(idx[:, -1].astype(jnp.float32)))  # one host fetch
+        return (time.time() - t0) / reps * 1000.0, idx
+
+    dense_fn = jax.jit(lambda p: FP.furthest_point_sample_pallas(p, npoint))
+    pruned_fn = jax.jit(lambda p: FP._fps_pruned_batched(p, npoint, False))
+    ms_d, idx_d = chain(dense_fn)
+    ms_p, idx_p = chain(pruned_fn)
+    same = bool((np.asarray(idx_d) == np.asarray(idx_p)).all())
+    print(f"B={B} N={N} npoint={npoint} dense {ms_d:8.2f} ms  "
+          f"pruned {ms_p:8.2f} ms  equal={same}", flush=True)
+
+
 def main():
+    if "--train" in sys.argv:
+        return train_mode()
     sizes = [int(x) for x in sys.argv[1:]] or [262144, 442368]
     import amcontrast3d_tpu.ops.fps_pallas as FP
 
