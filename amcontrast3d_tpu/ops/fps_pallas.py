@@ -248,6 +248,10 @@ def set_fps_pruned(mode: str):
     global _PRUNED
     assert mode in ("off", "auto", "on")
     _PRUNED = mode
+    # the mode is read at trace time inside the jit-wrapped dispatcher and
+    # is NOT part of its cache key — drop traced executables so a toggle
+    # takes effect for already-seen (shape, npoint) combinations
+    furthest_point_sample_pallas.clear_cache()
 
 
 def _fps_kernel_pruned(x_ref, y_ref, z_ref, oidx_ref, blo_ref, bhi_ref,
@@ -375,10 +379,10 @@ def _fps_b1_pruned(x, y, z, N: int, npoint: int, interpret: bool):
         perm = jnp.concatenate(
             [perm, jnp.full((n_pad - N,), -1.0, jnp.float32)])
     seed = (x[0, 0], y[0, 0], z[0, 0])
-    return _fps_pruned_core(ps, perm, seed, N, npoint, csp, interpret)
+    return _fps_pruned_core(ps, perm, seed, npoint, csp, interpret)
 
 
-def _fps_pruned_core(ps, perm, seed, N: int, npoint: int, csp: int,
+def _fps_pruned_core(ps, perm, seed, npoint: int, csp: int,
                      interpret: bool):
     """Run the chunk-pruned sampler on ONE kd-sorted cloud.
 
@@ -475,19 +479,22 @@ def _fps_pruned_core(ps, perm, seed, N: int, npoint: int, csp: int,
 # iterations (vs 6000 lockstep), and at 2048-point chunks the per-iteration
 # O(n_chunks) scalar loop overhead dwarfs the lanes pruning saves; the
 # B==1 ladder win (1.8-118x at >=262k) needs 32k-point chunks to amortize.
-# Kept as a validated exact alternative (AMC3D_FPS_PRUNED_TRAIN=off|auto|on,
+# Kept as a validated exact alternative (AMC3D_FPS_PRUNED_TRAIN=off|on,
 # default off); don't re-litigate without a lockstep-batched stats kernel.
+# There is deliberately NO 'auto' here: per the measurement above the
+# pruned core never wins at training scale, so 'auto' would be a trap.
 # ---------------------------------------------------------------------------
 
 _PRUNED_TRAIN = _os.environ.get("AMC3D_FPS_PRUNED_TRAIN", "off")
-_PRUNED_TRAIN_MIN = int(_os.environ.get("AMC3D_FPS_PRUNED_TRAIN_MIN",
-                                        "16384"))
+if _PRUNED_TRAIN not in ("off", "on"):
+    _PRUNED_TRAIN = "off"
 
 
 def set_fps_pruned_train(mode: str):
     global _PRUNED_TRAIN
-    assert mode in ("off", "auto", "on")
+    assert mode in ("off", "on")
     _PRUNED_TRAIN = mode
+    furthest_point_sample_pallas.clear_cache()  # see set_fps_pruned
 
 
 def _fps_pruned_batched(xyz: jnp.ndarray, npoint: int, interpret: bool):
@@ -506,7 +513,7 @@ def _fps_pruned_batched(xyz: jnp.ndarray, npoint: int, interpret: bool):
     outs = [
         _fps_pruned_core(ps[b], perm[b],
                          (xyz[b, 0, 0], xyz[b, 0, 1], xyz[b, 0, 2]),
-                         N, npoint, cs, interpret)
+                         npoint, cs, interpret)
         for b in range(B)
     ]
     return jnp.concatenate(outs, axis=0)          # (B, npoint)
@@ -525,8 +532,7 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
                     and N >= 2 * _PRUNE_CS)):
             return _fps_b1_pruned(x, y, z, N, npoint, interpret)
         return _fps_b1(x, y, z, N, npoint, interpret)
-    if (_PRUNED_TRAIN == "on"
-            or (_PRUNED_TRAIN == "auto" and N >= _PRUNED_TRAIN_MIN)):
+    if _PRUNED_TRAIN == "on":
         return _fps_pruned_batched(xyz, npoint, interpret)
     kernel = functools.partial(_fps_kernel, npoint=npoint)
     out = pl.pallas_call(

@@ -84,6 +84,31 @@ def load_checkpoint(template_state: Dict[str, Any], pretrained_path: str,
     """
     if not os.path.exists(pretrained_path):
         raise FileNotFoundError(pretrained_path)
+    if pretrained_path.endswith((".pth", ".pt")):
+        # a torch reference checkpoint (released .pth): convert the state
+        # dict to the flax tree and tolerant-merge it onto the template —
+        # the reference's own eval/finetune bridge (ckpt_util.py:137-183)
+        from .torch_convert import convert_torch_checkpoint
+        converted, extras = convert_torch_checkpoint(pretrained_path)
+        template = _to_host(template_state)
+        state = dict(template)
+        missing, unexpected = [], []
+        for key in ("params", "batch_stats"):
+            if key in template:
+                src = converted.get(key)
+                if module is not None and isinstance(src, dict):
+                    src = {module: src.get(module)}
+                state[key] = _merge_state_dicts(template[key], src, key,
+                                                missing, unexpected)
+        if missing:
+            logging.info("torch ckpt keys kept from init (%d): %s ...",
+                         len(missing), missing[:5])
+        if unexpected:
+            logging.info("torch ckpt keys unused (%d): %s ...",
+                         len(unexpected), unexpected[:5])
+        logging.info("Converted torch checkpoint %s (epoch %s, module=%s)",
+                     pretrained_path, extras.get("epoch"), module)
+        return state, extras.get("epoch", 0), extras
     with open(pretrained_path, "rb") as f:
         blob = pickle.load(f)
     extras = {k: v for k, v in blob.items() if k not in ("state",)}

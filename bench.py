@@ -7,8 +7,23 @@ synthetic clouds — the BASELINE.md north-star throughput metric
 (points/sec/chip, no published reference value: vs_baseline null).
 
 Also reports (in "detail"): step wall-clock, model-FLOPs utilization
-(XLA cost-analysis FLOPs ÷ step time ÷ chip peak) and the eval-path
-(inference forward) throughput at the same shapes.
+and the eval-path (inference forward) throughput at the same shapes.
+
+MFU accounting: XLA's cost analysis reports ZERO FLOPs for custom calls,
+so ``mfu_pct_lower_bound`` (XLA-counted only) undercounts.  ``mfu_pct``
+adds the analytic MXU matmul FLOPs of EVERY Pallas kernel family in the
+step — contrast similarity + VJP, label_vote, fused 3-NN interpolation
+fwd+bwd, and (kind=mm) the DualMasks refinement — from their static
+matmul shapes; kNN/ballquery/FPS kernels contain no matmuls (their
+distance sweeps are VPU work, tallied in ``pallas_tflops_vpu``).  The
+interp/DualMasks terms assume no chunk-pruning (bbox skipping makes the
+executed work data-dependent), so mfu_pct is exact for the contrast
+family and a mild upper bound for the pruned families.
+
+Env axes: BENCH_RECIPE=s3dis|scannet, BENCH_KIND=aa|mm, BENCH_AMP=0|1,
+BENCH_ITERS, BENCH_BUDGET_S (wall-clock guard, default 540 s; the
+primary JSON line always prints), BENCH_CANARY=1 / BENCH_BREAKDOWN=1
+(opt-in extra compiles, default off since round 4).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -16,6 +31,8 @@ import json
 import os
 import sys
 import time
+
+_T_START = time.perf_counter()  # wall-clock budget anchor (BENCH_BUDGET_S)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault(
@@ -65,7 +82,38 @@ def _pallas_flops(B, N, stage_shapes, nsample, ncls=13):
             m_pad = _shapes(n)[0]
             mxu += 2.0 * b * n_pad0 * m_pad * ncls
             vpu += float(b) * n_pad0 * m_pad * 9.0 * 2
+    # fused 3-NN interpolation (decoder fp stages + the loss-side stage
+    # upsamples): per (query stage i ← support stage i+1) one fwd
+    # weight-accumulate matmul (tq,cs)x(cs,C+1) over every chunk-tile pair
+    # and one bwd scatter matmul of the same shape — 4*B*Nq*Ns*(C+1) total.
+    # Chunk-pruning (bbox lower bounds) skips far pairs at run time, so
+    # this term is an upper bound on executed MXU work; the d2/top-3
+    # selection passes are VPU (9 flops/pair fwd, once more in bwd).
+    for (bq, nq, _), (bs, ns, cs_ch) in zip(stage_shapes[:-1],
+                                            stage_shapes[1:]):
+        qp = float(bq) * nq * ns
+        mxu += 4.0 * qp * (cs_ch + 1)
+        vpu += qp * 9.0 * 2
+    # FPS (dense batched kernel): npoint sequential iterations, each a
+    # full B x N d2-update sweep (~9 VPU flops/lane) — no MXU work.
+    n0 = stage_shapes[0][1]
+    for _, n_s, _ in stage_shapes[1:]:
+        vpu += 9.0 * float(B) * n0 * n_s  # npoint == next stage size
     return mxu, vpu
+
+
+def _dualmasks_flops(B, N, C):
+    """MM refinement (DualMasks) analytic FLOPs: the fused kernel runs at
+    FULL resolution — fwd one 0/1-weight matmul (tq,cs)x(cs,C+1) per
+    chunk-tile pair over the whole (n_pad x n_pad) grid, bwd one (cs,C)
+    more (ops/contrast_pallas.py:_refine_fwd_kernel/_refine_bwd_kernel).
+    Membership selection (d2 + threshold + MIN-fusion sweeps, 3 passes) is
+    VPU.  Upper bound: bbox chunk-pruning skips far pairs at run time."""
+    from amcontrast3d_tpu.ops.contrast_pallas import _shapes
+
+    n_pad = _shapes(N)[0]
+    pairs = float(B) * n_pad * n_pad
+    return 2.0 * pairs * (2 * C + 1), pairs * 9.0 * 3
 
 
 def _device_canary():
@@ -143,6 +191,18 @@ def main():
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compile cache: the env-var route alone was observed NOT to
+    # write entries on this platform, while the explicit config call does
+    # (probed round 4: jit twice, entries appear + hit).  With a warm cache
+    # the ~10-min flagship AOT compile becomes seconds, so the driver's
+    # budgeted run completes.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     # Probe the backend before any compile: a wedged/unavailable remote
     # chip otherwise surfaces as a bare stack trace.  Emit a machine-
     # readable failure line and exit non-zero instead.
@@ -174,8 +234,20 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 10))
     in_ch, ncls, ignore_index = (7, 20, -100) if scannet else (4, 13, None)
 
+    # Wall-clock budget: the driver runs `python bench.py` under a hard
+    # timeout (round 3's run was killed at rc=124 with zero output).  The
+    # guard guarantees the primary JSON line prints: enrichments (eval
+    # path, CE-only breakdown, second pipelined trial) are skipped and the
+    # timing iters shrink as the remaining budget demands.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 540))
+
+    def _left():
+        return budget_s - (time.perf_counter() - _T_START)
+
+    # Device canary + CE-breakdown are opt-in (each costs extra full
+    # compiles; the canary lives in tests_device/ for routine runs).
     canary = "disabled"
-    if os.environ.get("BENCH_CANARY", "1") != "0":
+    if os.environ.get("BENCH_CANARY", "0") != "0":
         canary = _device_canary()  # raises (non-zero exit) on regression
 
     import jax.numpy as _jnp
@@ -239,8 +311,17 @@ def main():
         flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
+    t0 = time.perf_counter()
     state, metrics = step(state, batch, rngk)
     _ = float(metrics["loss"])
+    step_est = time.perf_counter() - t0  # warmup step ≈ synced step cost
+
+    # Budget-aware iteration count: the timing below runs ~3*iters steps
+    # (one synced trial + up to two pipelined trials); leave headroom for
+    # the eval-path enrichment.  Guarantees the primary line prints even
+    # on a cold cache that ate most of the budget in the AOT compile.
+    max_iters = int(max(2, (_left() - 60.0) / (3.0 * step_est + 1e-9)))
+    iters = max(2, min(iters, max_iters))
 
     # Synced timing: a host-side scalar fetch per iteration (each fetch
     # pays a full tunnel roundtrip on the remote-TPU platform;
@@ -266,6 +347,8 @@ def main():
         _ = float(metrics["loss"])
         trial = (time.perf_counter() - t0) / iters
         dt = trial if dt is None else min(dt, trial)
+        if _left() < 45.0:  # one trial is enough if the budget is tight
+            break
 
     detail = {"batch": B, "points": N, "kind": kind, "recipe": recipe,
               "step_ms": round(dt * 1e3, 2),
@@ -286,6 +369,10 @@ def main():
         stage_shapes = [tuple(s.shape) for s in stages_sh["f_up"]]
         mxu_fl, vpu_fl = _pallas_flops(B, N, stage_shapes,
                                        ambiguity_args["nsample"], ncls=ncls)
+        if kind == "mm":  # DualMasks refinement runs at full resolution
+            dm_mxu, dm_vpu = _dualmasks_flops(B, N, stage_shapes[0][2])
+            mxu_fl += dm_mxu
+            vpu_fl += dm_vpu
         detail["pallas_tflops_mxu"] = round(mxu_fl / 1e12, 2)
         detail["pallas_tflops_vpu"] = round(vpu_fl / 1e12, 2)
     except Exception:
@@ -309,7 +396,11 @@ def main():
     # eval-path (inference forward) throughput at the same shapes.  Fetch a
     # scalar reduction, not the logits: on the remote-TPU platform a 5 MB
     # device→host copy costs ~200 ms and would swamp the compute time.
+    # Skipped when the wall-clock budget is nearly spent (it costs another
+    # compile); the primary train line must print first.
     try:
+        if _left() < 75.0:
+            raise TimeoutError("budget")
         import jax.numpy as jnp
 
         predict = make_predict_step(model)
@@ -334,7 +425,8 @@ def main():
     # optimizer, contrast head elided) isolates the encoder+decoder+update
     # cost; the contrast objective is the difference (↔ the grouper
     # micro-bench role of reference examples/profile.py:108-126)
-    if kind == "aa" and os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+    if (kind == "aa" and os.environ.get("BENCH_BREAKDOWN", "0") != "0"
+            and _left() > 120.0):
         try:
             from amcontrast3d_tpu.loss import CrossEntropy
 

@@ -91,6 +91,16 @@ def main():
                          "the reference's AMP axis, main_AA.py:389-390) and "
                          "report the best-val delta vs the fp32 default — "
                          "the accuracy envelope for the bf16 perf lever")
+    ap.add_argument("--deltas", type=int, default=0, metavar="N_SEEDS",
+                    help="discriminative delta gate (VERDICT r3 weak #2): "
+                         "train CE-only / AA / MM on the HARD synthetic "
+                         "rooms (boundary label noise on train, aliased box "
+                         "colors, contact clusters — data/synthetic.py) for "
+                         "N seeds each and assert the method ordering "
+                         "CE < AA <= MM with margins measured against the "
+                         "seed spread.  CE-only = the SAME AA model/optimizer "
+                         "with ambiguity_args.w1=1,w2=0 (loss ablation, not "
+                         "a different architecture).")
     ap.add_argument("--agg-fused", action="store_true",
                     help="also train AA with AMC3D_AGG_FUSED=auto (the slot "
                          "one-hot gather-reduce aggregation tail, "
@@ -103,6 +113,8 @@ def main():
     with tempfile.TemporaryDirectory(prefix="amc3d_convergence_") as tmp:
         for kind in args.kinds.split(","):
             kind = kind.strip()
+            if not kind:  # --kinds "" → deltas-only run
+                continue
             cfg = os.path.join(REPO, "cfgs", "synthetic",
                                f"AMContrast3D-{kind.upper()}.yaml")
             root = os.path.join(tmp, kind)
@@ -211,6 +223,51 @@ def main():
                   f"vs gather {default_best:.2f} -> "
                   f"{'PASS' if aggf_ok else 'FAIL'}")
             failed |= not aggf_ok
+
+        if args.deltas:
+            import statistics
+            hard = ["dataset.common.hard=True",
+                    "datatransforms.kwargs.color_drop=0.0",
+                    "dataset.train.loop=8", "val_freq=1",
+                    f"epochs={args.epochs}"]
+            variants = {
+                "ce": ("aa", ["ambiguity_args.w1=1.0", "ambiguity_args.w2=0.0",
+                              "ambiguity_args.w3=0.0"]),
+                "aa": ("aa", []),
+                "mm": ("mm", []),
+            }
+            scores = {v: [] for v in variants}
+            for s in range(args.deltas):
+                seed = args.seed + 100 * s
+                for vname, (kind, extra) in variants.items():
+                    cfg = os.path.join(REPO, "cfgs", "synthetic",
+                                       f"AMContrast3D-{kind.upper()}.yaml")
+                    root = os.path.join(tmp, f"delta_{vname}_{s}")
+                    res = run_phase(
+                        kind, ["--cfg", cfg, f"seed={seed}",
+                               f"root_dir={root}", *hard, *args.override],
+                        f"delta_{vname}_{s}", tmp)
+                    scores[vname].append(float(res.get("best_val", 0.0)))
+                    print(f"[deltas] {vname} seed={seed} "
+                          f"best_val={scores[vname][-1]:.2f}", flush=True)
+            mean = {v: statistics.mean(xs) for v, xs in scores.items()}
+            spread = max(max(xs) - min(xs) if len(xs) > 1 else 0.0
+                         for xs in scores.values())
+            d_aa = mean["aa"] - mean["ce"]
+            d_mm = mean["mm"] - mean["aa"]
+            # ordering asserts: AA must beat CE by more than the observed
+            # seed spread; MM must not fall behind AA by more than it
+            # (reference deltas: +0.6 AA→MM on S3DIS, README.md:93-94)
+            ok = d_aa > spread and d_mm > -spread
+            summary["deltas"] = {
+                "scores": scores, "mean": mean,
+                "seed_spread": round(spread, 3),
+                "aa_minus_ce": round(d_aa, 3),
+                "mm_minus_aa": round(d_mm, 3), "pass": ok}
+            print(f"[deltas] mean ce={mean['ce']:.2f} aa={mean['aa']:.2f} "
+                  f"mm={mean['mm']:.2f}  aa-ce={d_aa:+.2f} mm-aa={d_mm:+.2f} "
+                  f"(spread {spread:.2f}) -> {'PASS' if ok else 'FAIL'}")
+            failed |= not ok
 
     summary["pass"] = not failed
     print(json.dumps(summary))

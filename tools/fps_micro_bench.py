@@ -43,6 +43,10 @@ def train_mode():
         float(jnp.sum(idx[:, -1].astype(jnp.float32)))  # one host fetch
         return (time.time() - t0) / reps * 1000.0, idx
 
+    # force the dense path for the dense arm — if AMC3D_FPS_PRUNED_TRAIN=on
+    # is set in the environment the public dispatcher would route BOTH arms
+    # through the pruned core and the A/B would be meaningless
+    FP.set_fps_pruned_train("off")
     dense_fn = jax.jit(lambda p: FP.furthest_point_sample_pallas(p, npoint))
     pruned_fn = jax.jit(lambda p: FP._fps_pruned_batched(p, npoint, False))
     ms_d, idx_d = chain(dense_fn)
