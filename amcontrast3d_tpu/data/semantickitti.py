@@ -92,11 +92,20 @@ class SemanticKITTI:
                  split: str = 'train', voxel_size: float = 0.06,
                  voxel_max: Optional[int] = None, transform=None,
                  loop: int = 1, presample: bool = False,
+                 presampled_root: Optional[str] = None,
                  variable: bool = False, shuffle: bool = True,
                  test_id: int = 0, **kwargs):
+        """``presampled_root``: root of a RandLA-style preprocessing cache
+        built by ``tools/prepare_semantickitti.py`` (↔ the reference's
+        ``preprocess/data_pre.py`` output).  When set, scans load the
+        grid-subsampled ``velodyne/*.npy`` + ``y/*.npy`` directly (and the
+        runtime voxelize pass is skipped — the cache already is the 0.06
+        grid); the ``proj/*_proj.pkl`` indices up-project predictions for
+        full-resolution scoring/export."""
         self.split, self.voxel_size, self.transform = split, voxel_size, transform
         self.voxel_max, self.loop = voxel_max, loop
         self.presample = presample
+        self.presampled_root = presampled_root
         self.variable, self.shuffle = variable, shuffle
         seq_dir = join(data_root, 'sequences')
         train_list, val_list, test_list = get_semantickitti_file_list(
@@ -106,15 +115,46 @@ class SemanticKITTI:
         assert len(self.data_list) > 0, f"no scans under {seq_dir}"
         self.data_idx = np.arange(len(self.data_list))
 
+    def _load_presampled(self, pc_path):
+        """Read a cache entry for this scan: (points, labels or None)."""
+        seq_id = os.path.basename(os.path.dirname(os.path.dirname(pc_path)))
+        stem = os.path.splitext(os.path.basename(pc_path))[0]
+        root = join(self.presampled_root, seq_id)
+        points = np.load(join(root, 'velodyne', stem + '.npy'))
+        label_file = join(root, 'y', stem + '.npy')
+        if os.path.exists(label_file):
+            # cache stores 0..19 with 0=unlabeled; shift to −1-ignore space
+            labels = np.load(label_file).astype(np.int32) - 1
+        else:
+            labels = None
+        return points, labels
+
+    def projection_indices(self, pc_path):
+        """raw→subsampled 1-NN indices for full-resolution up-projection
+        (benchmark export); requires the cache's proj/ entry."""
+        import pickle
+        seq_id = os.path.basename(os.path.dirname(os.path.dirname(pc_path)))
+        stem = os.path.splitext(os.path.basename(pc_path))[0]
+        with open(join(self.presampled_root, seq_id, 'proj',
+                       stem + '_proj.pkl'), 'rb') as f:
+            return np.asarray(pickle.load(f)[0], np.int64)
+
     def __getitem__(self, idx):
         pc_path, label_path = self.data_list[self.data_idx[idx % len(self.data_idx)]]
-        points = load_pc_kitti(pc_path)
-        labels = (load_label_kitti(label_path, remap_lut_read)
-                  if self.split != 'test'
-                  else np.zeros(len(points), np.int32))
+        if self.presampled_root is not None:
+            points, labels = self._load_presampled(pc_path)
+            if labels is None:
+                labels = np.zeros(len(points), np.int32)
+            downsample = False  # the cache IS the grid subsample
+        else:
+            points = load_pc_kitti(pc_path)
+            labels = (load_label_kitti(label_path, remap_lut_read)
+                      if self.split != 'test'
+                      else np.zeros(len(points), np.int32))
+            downsample = not self.presample
         points, _, labels = crop_pc(points, None, labels[:, None], self.split,
                                     self.voxel_size, self.voxel_max,
-                                    downsample=not self.presample,
+                                    downsample=downsample,
                                     variable=self.variable,
                                     shuffle=self.shuffle)
         data = {'pos': points.astype(np.float32),

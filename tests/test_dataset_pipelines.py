@@ -94,6 +94,67 @@ def test_semantickitti_dataset(tmp_path):
     assert set(np.unique(d["y"])).issubset({-1, 0, 8, 10, 14, 18})
 
 
+def test_semantickitti_preprocess_cache(tmp_path):
+    """RandLA-style cache builder (tools/prepare_semantickitti.py ↔
+    reference preprocess/data_pre.py:188-242): grid subsample + KD-tree +
+    raw→sub projection, and the loader's presampled_root consumption."""
+    import pickle
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.prepare_semantickitti import prepare_sequence
+
+    rng = np.random.RandomState(3)
+    seq = tmp_path / "sequences" / "08"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir()
+    n_raw = 1500
+    for i in range(2):
+        pts = (rng.randn(n_raw, 4).astype(np.float32)
+               * np.array([10, 10, 2, 1], np.float32))
+        pts.tofile(seq / "velodyne" / f"{i:06d}.bin")
+        raw_ids = np.array([0, 10, 40, 48, 70, 81], dtype=np.uint32)
+        labels = raw_ids[rng.randint(0, len(raw_ids), n_raw)].astype(
+            np.uint32)
+        labels.tofile(seq / "labels" / f"{i:06d}.label")
+
+    out = tmp_path / "cache"
+    prepare_sequence(str(seq), str(out / "08"), "08", 0.3, "11", False,
+                     log=lambda *a: None)
+
+    # cache files exist and are consistent
+    sub = np.load(out / "08" / "velodyne" / "000000.npy")
+    sub_lab = np.load(out / "08" / "y" / "000000.npy")
+    assert sub.ndim == 2 and sub.shape[1] == 3 and len(sub) < n_raw
+    assert len(sub_lab) == len(sub)
+    assert sub_lab.min() >= 0 and sub_lab.max() <= 19  # 0=unlabeled space
+    with open(out / "08" / "KDTree" / "000000.pkl", "rb") as f:
+        tree = pickle.load(f)
+    np.testing.assert_array_equal(tree["points"], sub)
+    with open(out / "08" / "proj" / "000000_proj.pkl", "rb") as f:
+        proj = pickle.load(f)[0]
+    assert proj.shape == (n_raw,)
+    # projection is the exact 1-NN: check against brute force on a sample
+    from amcontrast3d_tpu.data.semantickitti import load_pc_kitti
+    raw = load_pc_kitti(str(seq / "velodyne" / "000000.bin"))
+    take = rng.choice(n_raw, 64, replace=False)
+    d2 = ((raw[take, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    want = np.argmin(d2, axis=1)
+    got_d = d2[np.arange(64), proj[take]]
+    min_d = d2[np.arange(64), want]
+    np.testing.assert_allclose(got_d, min_d, rtol=1e-5)  # ties allowed
+
+    # loader consumes the cache (no runtime re-voxelize)
+    ds = SemanticKITTI(data_root=str(tmp_path), split="val",
+                       voxel_size=0.3, voxel_max=128,
+                       presampled_root=str(out))
+    d = ds[0]
+    assert d["pos"].shape == (128, 3)
+    assert set(np.unique(d["y"])).issubset({-1, 0, 8, 10, 14, 18})
+    pc_path = ds.data_list[0][0]
+    pj = ds.projection_indices(pc_path)
+    assert pj.shape == (n_raw,) and pj.max() < len(sub)
+
+
 def test_scannet_dataset(tmp_path):
     import torch
     from amcontrast3d_tpu.data import ScanNet

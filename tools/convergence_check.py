@@ -101,6 +101,13 @@ def main():
                          "seed spread.  CE-only = the SAME AA model/optimizer "
                          "with ambiguity_args.w1=1,w2=0 (loss ablation, not "
                          "a different architecture).")
+    ap.add_argument("--recall-sweep", action="store_true",
+                    help="sweep the approx-kNN accuracy budget (VERDICT r3 "
+                         "weak #4): train AA on the HARD rooms with "
+                         "AMC3D_KNN_BACKEND=exact and AMC3D_KNN_RECALL in "
+                         "{0.995, 0.99, 0.95}; report the best-val mIoU "
+                         "curve vs exact so the default recall's cost is a "
+                         "measured number (docs/DEVIATIONS.md §2)")
     ap.add_argument("--agg-fused", action="store_true",
                     help="also train AA with AMC3D_AGG_FUSED=auto (the slot "
                          "one-hot gather-reduce aggregation tail, "
@@ -223,6 +230,34 @@ def main():
                   f"vs gather {default_best:.2f} -> "
                   f"{'PASS' if aggf_ok else 'FAIL'}")
             failed |= not aggf_ok
+
+        if args.recall_sweep:
+            cfg = os.path.join(REPO, "cfgs", "synthetic",
+                               "AMContrast3D-AA.yaml")
+            hard = ["dataset.common.hard=True",
+                    "datatransforms.kwargs.color_drop=0.0",
+                    "dataset.train.loop=8", "val_freq=1",
+                    f"epochs={args.epochs}", f"seed={args.seed}"]
+            sweep = {}
+            for name, env in [
+                    ("exact", {"AMC3D_KNN_BACKEND": "exact"}),
+                    ("r0995", {"AMC3D_KNN_BACKEND": "approx",
+                               "AMC3D_KNN_RECALL": "0.995"}),
+                    ("r099", {"AMC3D_KNN_BACKEND": "approx",
+                              "AMC3D_KNN_RECALL": "0.99"}),
+                    ("r095", {"AMC3D_KNN_BACKEND": "approx",
+                              "AMC3D_KNN_RECALL": "0.95"})]:
+                root = os.path.join(tmp, f"recall_{name}")
+                res = run_phase("aa", ["--cfg", cfg, f"root_dir={root}",
+                                       *hard, *args.override],
+                                f"recall_{name}", tmp, extra_env=env)
+                sweep[name] = float(res.get("best_val", 0.0))
+                print(f"[recall] {name}: best_val={sweep[name]:.2f}",
+                      flush=True)
+            summary["recall_sweep"] = {
+                **sweep,
+                "delta_vs_exact": {k: round(v - sweep["exact"], 3)
+                                   for k, v in sweep.items()}}
 
         if args.deltas:
             import statistics
