@@ -42,10 +42,12 @@ def _dma_gather_kernel(idx_ref, sup_ref, out_ref, sup_vmem, sems, copy_sem,
     (tq*K, C) f32 VMEM block; sup_vmem: (M, C) VMEM scratch."""
     t = pl.program_id(1)
 
+    b = pl.program_id(0)
+
     # stage the support table into VMEM once per batch row (tile 0)
     @pl.when(t == 0)
     def _():
-        cp = pltpu.make_async_copy(sup_ref.at[0], sup_vmem, copy_sem)
+        cp = pltpu.make_async_copy(sup_ref.at[b], sup_vmem, copy_sem)
         cp.start()
         cp.wait()
 
@@ -95,15 +97,15 @@ def dma_gather(sup, idx, tq=256):
     B, M, C = sup.shape
     K = idx.shape[-1]
     n_tiles = M // tq
-    flat_idx = idx.reshape(B, n_tiles, tq * K)
+    flat_idx = idx.reshape(B * n_tiles, 1, tq * K)
     out = pl.pallas_call(
         functools.partial(_dma_gather_kernel, tq=tq, K=K, C=C),
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, tq * K), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, 1, tq * K),
+                         lambda b, t, _n=n_tiles: (b * _n + t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, M, C), lambda b, t: (b, 0, 0),
-                         memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # full (B, M, C) in HBM
         ],
         out_specs=pl.BlockSpec((1, tq * K, C), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
@@ -125,36 +127,69 @@ def _squeeze_kernel_refs(kernel):
 
 
 def main():
-    B, M, K, C = 4, 6016, 32, 128   # 6016 = 6000 padded to a tile multiple
+    B, M, K, C = 4, 6144, 32, 128   # 6144 = 24 x 256 query tiles
     tq = 256
     rng = np.random.RandomState(0)
     sup = jnp.asarray(rng.randn(B, M, C).astype(np.float32))
-    idx = jnp.asarray(rng.randint(0, M, (B, M, K)).astype(np.int32))
+    # ball-query-like indices: spatially local windows (same distribution
+    # as tools/scatter_micro_bench.py — XLA's gather engine is dramatically
+    # faster on local rows than uniform-random ones, so the A/B must match
+    # the real workload's locality).  IDX_MODE=uniform flips to worst case.
+    if os.environ.get("IDX_MODE", "local") == "uniform":
+        idx_np = rng.randint(0, M, (B, M, K)).astype(np.int32)
+    else:
+        centers = rng.randint(0, M, (B, M, 1))
+        offs = rng.randint(-64, 65, (B, M, K))
+        idx_np = np.clip(centers + offs, 0, M - 1).astype(np.int32)
+    idx = jnp.asarray(idx_np)
 
-    def xla_gather(sup, idx):
-        return jnp.take_along_axis(sup[:, :, None, :],
-                                   idx[..., None], axis=1)
-
-    xla_fn = jax.jit(xla_gather)
+    from amcontrast3d_tpu.ops.group import group_points
 
     def chain(fn, reps=10):
-        out = jax.block_until_ready(fn(sup, idx))
+        """Whole timed loop inside ONE jit (eager ops between dispatches
+        cost ~0.8 s EACH on the axon tunnel — measured — so host-side
+        chaining swamps any kernel under ~1 s)."""
+
+        @jax.jit
+        def loop(sup, idx):
+            def body(i, carry):
+                s, acc = carry
+                out = fn(s, idx)
+                return (s + 1e-12 * out[:, :1, 0, :],
+                        acc + out[0, 0, 0, 0])
+            return jax.lax.fori_loop(0, reps, body, (sup, jnp.float32(0)))[1]
+
+        _ = float(loop(sup, idx))            # compile + warm
         t0 = time.time()
-        s = sup
-        for _ in range(reps):
-            out = fn(s, idx)
-            s = s + 1e-12 * out[:, :1, 0, :]  # chain dependency
-        float(jnp.sum(out[:, -1, -1, 0]))     # one host fetch
+        _ = float(loop(sup, idx))            # one fetch for the whole loop
         dt = (time.time() - t0) / reps
+        out = jax.jit(fn)(sup, idx)
         return dt * 1e3, out
 
-    ms_x, out_x = chain(xla_fn)
+    # chip sanity: a 2048^2 matmul should take ~0.1-1 ms pipelined; tens of
+    # ms+ means the chip/tunnel is degraded and every number below is noise
+    a = jnp.asarray(rng.randn(2048, 2048).astype(np.float32))
+
+    @jax.jit
+    def mm20(a):
+        return jax.lax.fori_loop(
+            0, 20, lambda i, b: (b @ b) * (1.0 / 2048.0), a).sum()
+
+    _ = float(mm20(a))
+    t0 = time.time()
+    _ = float(mm20(a))
+    probe_ms = (time.time() - t0) / 20 * 1e3
+    print(f"sanity matmul: {probe_ms:.2f} ms/iter "
+          f"{'(DEGRADED - numbers below unreliable)' if probe_ms > 20 else ''}",
+          flush=True)
+
+    ms_x, out_x = chain(group_points)
     rows = B * M * K
     print(f"xla  gather: {ms_x:7.2f} ms  ({ms_x * 1e6 / rows:6.1f} ns/row)",
           flush=True)
 
     try:
-        ms_d, out_d = chain(dma_gather)
+        ms_d, out_d = chain(lambda s_, i_: dma_gather(s_, i_))
         same = bool(jnp.array_equal(out_x.reshape(out_d.shape), out_d))
         print(f"dma  gather: {ms_d:7.2f} ms  ({ms_d * 1e6 / rows:6.1f} "
               f"ns/row)  equal={same}", flush=True)
