@@ -31,9 +31,23 @@ if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
 
 # Persistent XLA compilation cache: the flagship train step is a large graph
 # (~minutes to compile); cache compiled executables across processes.
+# MEASURED (round 4): the env-var route alone never writes a single entry on
+# the axon platform — only the explicit config call does — so set BOTH.
+# Keys are stable across processes as long as no file on the trace path
+# changes (Pallas kernel payloads embed call-stack source locations).
 import os as _os
 
 _os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                       float(_os.environ[
+                           "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
+except Exception:  # pragma: no cover — jax config surface drift
+    pass

@@ -280,7 +280,8 @@ def main():
                     root = os.path.join(tmp, f"delta_{vname}_{s}")
                     res = run_phase(
                         kind, ["--cfg", cfg, f"seed={seed}",
-                               f"root_dir={root}", *hard, *args.override],
+                               f"root_dir={root}", *hard, *extra,
+                               *args.override],
                         f"delta_{vname}_{s}", tmp)
                     scores[vname].append(float(res.get("best_val", 0.0)))
                     print(f"[deltas] {vname} seed={seed} "
