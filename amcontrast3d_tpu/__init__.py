@@ -49,5 +49,11 @@ try:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs",
                        float(_os.environ[
                            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
-except Exception:  # pragma: no cover — jax config surface drift
-    pass
+except Exception as _e:  # pragma: no cover — jax config surface drift
+    # a rename of these config keys would silently reproduce the exact
+    # "zero cache entries" failure this call exists to fix — be loud
+    import logging as _logging
+
+    _logging.getLogger(__name__).warning(
+        "persistent compile cache NOT configured (%s) — flagship compiles "
+        "will not be cached", _e)

@@ -144,6 +144,14 @@ class SemanticKITTI:
         if self.presampled_root is not None:
             points, labels = self._load_presampled(pc_path)
             if labels is None:
+                if self.split != 'test':
+                    # match the raw path's behavior: a train/val scan whose
+                    # cache entry lacks labels is an error, never silently
+                    # zero-filled (zeros are class 0 = 'car' after the
+                    # ignore shift)
+                    raise FileNotFoundError(
+                        f"presampled cache has no labels for {pc_path} "
+                        f"(split={self.split})")
                 labels = np.zeros(len(points), np.int32)
             downsample = False  # the cache IS the grid subsample
         else:

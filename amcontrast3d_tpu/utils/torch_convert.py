@@ -140,6 +140,11 @@ def _encoder_tree(enc: Dict[str, Any]):
                 name = f"enc{i}_sa"
                 sa_convs = blk.get("convs", {})
                 conv0 = sa_convs.get("0", {})
+                # sa_layers>1 checkpoints carry convs.1+ — not mapped (the
+                # released AMContrast3D configs all use sa_layers=1); record
+                # them so the drop is loud, not silent
+                unmapped += [f"encoder.encoder.{i}.0.convs.{c}"
+                             for c in _sorted_int_keys(sa_convs) if c != "0"]
                 if conv0.get("0", {}).get("weight") is None:
                     unmapped.append(f"encoder.encoder.{i}.0")
                     continue
@@ -152,7 +157,10 @@ def _encoder_tree(enc: Dict[str, Any]):
                     params[name], stats[name] = _separable_la(conv0)
             else:  # InvResMLP
                 bp, bs = {}, {}
-                la = blk.get("convs", {}).get("convs", {}).get("0")
+                la_convs = blk.get("convs", {}).get("convs", {})
+                unmapped += [f"encoder.encoder.{i}.{j}.convs.convs.{c}"
+                             for c in _sorted_int_keys(la_convs) if c != "0"]
+                la = la_convs.get("0")
                 if la is not None:
                     bp["LocalAggregation_0"], bs["LocalAggregation_0"] = \
                         _separable_la(la)
@@ -252,8 +260,9 @@ def convert_state_dict(flat: Dict[str, np.ndarray]):
         else:
             unmapped.append(group)
     if unmapped:
-        logging.info("convert_state_dict: unmapped reference groups "
-                     "(kept from init): %s", unmapped)
+        logging.warning("convert_state_dict: UNMAPPED reference entries "
+                        "(kept from init — check the model config matches "
+                        "the checkpoint): %s", unmapped)
     return {"params": params, "batch_stats": stats}
 
 

@@ -95,10 +95,11 @@ def _pallas_flops(B, N, stage_shapes, nsample, ncls=13):
         mxu += 4.0 * qp * (cs_ch + 1)
         vpu += qp * 9.0 * 2
     # FPS (dense batched kernel): npoint sequential iterations, each a
-    # full B x N d2-update sweep (~9 VPU flops/lane) — no MXU work.
-    n0 = stage_shapes[0][1]
-    for _, n_s, _ in stage_shapes[1:]:
-        vpu += 9.0 * float(B) * n0 * n_s  # npoint == next stage size
+    # full B x N_prev d2-update sweep over the PREVIOUS stage's cloud
+    # (~9 VPU flops/lane) — no MXU work.
+    for (_, n_prev, _), (_, n_s, _) in zip(stage_shapes[:-1],
+                                           stage_shapes[1:]):
+        vpu += 9.0 * float(B) * n_prev * n_s  # npoint == next stage size
     return mxu, vpu
 
 
@@ -191,17 +192,12 @@ def main():
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    # Persistent compile cache: the env-var route alone was observed NOT to
-    # write entries on this platform, while the explicit config call does
-    # (probed round 4: jit twice, entries appear + hit).  With a warm cache
-    # the ~10-min flagship AOT compile becomes seconds, so the driver's
+    # Persistent compile cache: configured by amcontrast3d_tpu/__init__.py
+    # (explicit jax.config.update — the env-var route alone never writes on
+    # this platform).  The setdefault at the top of this file only pins the
+    # cache DIRECTORY before that import runs.  With a warm cache the
+    # ~10-min flagship AOT compile becomes seconds, so the driver's
     # budgeted run completes.
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
 
     # Probe the backend before any compile: a wedged/unavailable remote
     # chip otherwise surfaces as a bare stack trace.  Emit a machine-

@@ -100,7 +100,8 @@ def test_semantickitti_preprocess_cache(tmp_path):
     raw→sub projection, and the loader's presampled_root consumption."""
     import pickle
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from tools.prepare_semantickitti import prepare_sequence
 
     rng = np.random.RandomState(3)
@@ -118,7 +119,7 @@ def test_semantickitti_preprocess_cache(tmp_path):
         labels.tofile(seq / "labels" / f"{i:06d}.label")
 
     out = tmp_path / "cache"
-    prepare_sequence(str(seq), str(out / "08"), "08", 0.3, "11", False,
+    prepare_sequence(str(seq), str(out / "08"), "08", 0.3,
                      log=lambda *a: None)
 
     # cache files exist and are consistent

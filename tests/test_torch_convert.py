@@ -173,11 +173,14 @@ def test_convert_cli_writes_native_ckpt(tmp_path):
     src = str(tmp_path / "in.pth")
     dst = str(tmp_path / "out.ckpt")
     _save_pth(ref_model, src, envelope=True)
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
-        [sys.executable, "tools/convert_torch_ckpt.py", src, dst],
-        capture_output=True, text=True, cwd="/root/repo",
+        [sys.executable, os.path.join(repo, "tools/convert_torch_ckpt.py"),
+         src, dst],
+        capture_output=True, text=True, cwd=repo,
         env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "HOME": "/root"})
+             "HOME": os.path.expanduser("~")})
     assert r.returncode == 0, r.stderr[-2000:]
 
     ours = build_model_from_cfg(

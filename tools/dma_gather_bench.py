@@ -121,11 +121,6 @@ def dma_gather(sup, idx, tq=256):
     return out.reshape(B, M, K, C)
 
 
-def _squeeze_kernel_refs(kernel):
-    """The (1, ...) leading block dims need squeezing inside the kernel —
-    handled by indexing [0] below instead."""
-
-
 def main():
     B, M, K, C = 4, 6144, 32, 128   # 6144 = 24 x 256 query tiles
     tq = 256

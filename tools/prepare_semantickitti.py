@@ -28,7 +28,7 @@ Output layout (identical paths to the reference):
 
 Usage:
     python tools/prepare_semantickitti.py <dataset>/sequences <out> \
-        [--grid 0.06] [--test-seq 11] [--sklearn-trees]
+        [--grid 0.06] [--sklearn-trees]
 """
 import argparse
 import os
@@ -89,8 +89,8 @@ def prepare_scan(pc_file, label_file, grid_size, out_dirs, scan_stem,
     return len(points), len(sub_points)
 
 
-def prepare_sequence(seq_path, seq_out, seq_id, grid_size, test_seq,
-                     use_sklearn, log=print):
+def prepare_sequence(seq_path, seq_out, seq_id, grid_size,
+                     use_sklearn=False, log=print):
     pc_path = join(seq_path, 'velodyne')
     label_path = join(seq_path, 'labels')
     out_dirs = {name: join(seq_out, name)
@@ -98,7 +98,10 @@ def prepare_sequence(seq_path, seq_out, seq_id, grid_size, test_seq,
     for d in out_dirs.values():
         os.makedirs(d, exist_ok=True)
     has_labels = seq_id in TRAIN_SEQS or seq_id == '08'
-    need_proj = seq_id == '08' or seq_id == test_seq
+    # proj indices: seq 08 (val) and EVERY test sequence (>= 11), matching
+    # the reference builder's else-branch (data_pre.py:225-242) — predictions
+    # on any test sequence need full-resolution up-projection
+    need_proj = seq_id == '08' or (seq_id.isdigit() and int(seq_id) >= 11)
     for scan in sorted(os.listdir(pc_path)):
         stem = os.path.splitext(scan)[0]
         lf = join(label_path, stem + '.label') if has_labels else None
@@ -113,7 +116,6 @@ def main():
     ap.add_argument("out", help="output root")
     ap.add_argument("--grid", type=float, default=0.06,
                     help="grid size (reference: 0.06)")
-    ap.add_argument("--test-seq", default="11")
     ap.add_argument("--sklearn-trees", action="store_true")
     args = ap.parse_args()
     for seq_id in sorted(os.listdir(args.sequences)):
@@ -122,7 +124,7 @@ def main():
             continue
         print(f"sequence {seq_id} start")
         prepare_sequence(seq_path, join(args.out, seq_id), seq_id,
-                         args.grid, args.test_seq, args.sklearn_trees)
+                         args.grid, args.sklearn_trees)
 
 
 if __name__ == "__main__":
