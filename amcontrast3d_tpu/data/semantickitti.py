@@ -114,12 +114,32 @@ class SemanticKITTI:
                           'test': test_list}[split]
         assert len(self.data_list) > 0, f"no scans under {seq_dir}"
         self.data_idx = np.arange(len(self.data_list))
+        self._grid_checked = set()
+
+    def _check_cache_grid(self, seq_root):
+        """Assert the cache's recorded grid size matches voxel_size (a cache
+        built with a different --grid would otherwise load silently).  Old
+        caches without meta.json are accepted for compatibility."""
+        if seq_root in self._grid_checked:
+            return
+        meta_file = join(seq_root, 'meta.json')
+        if os.path.exists(meta_file):
+            import json
+            with open(meta_file) as f:
+                grid = json.load(f).get('grid_size')
+            if grid is not None and abs(grid - self.voxel_size) > 1e-9:
+                raise ValueError(
+                    f"presampled cache {seq_root} was built with "
+                    f"--grid {grid} but the dataset expects voxel_size="
+                    f"{self.voxel_size}; rebuild the cache or fix the config")
+        self._grid_checked.add(seq_root)
 
     def _load_presampled(self, pc_path):
         """Read a cache entry for this scan: (points, labels or None)."""
         seq_id = os.path.basename(os.path.dirname(os.path.dirname(pc_path)))
         stem = os.path.splitext(os.path.basename(pc_path))[0]
         root = join(self.presampled_root, seq_id)
+        self._check_cache_grid(root)
         points = np.load(join(root, 'velodyne', stem + '.npy'))
         label_file = join(root, 'y', stem + '.npy')
         if os.path.exists(label_file):
@@ -132,6 +152,10 @@ class SemanticKITTI:
     def projection_indices(self, pc_path):
         """raw→subsampled 1-NN indices for full-resolution up-projection
         (benchmark export); requires the cache's proj/ entry."""
+        if self.presampled_root is None:
+            raise ValueError(
+                "projection_indices requires presampled_root (a cache built "
+                "by tools/prepare_semantickitti.py with proj/ entries)")
         import pickle
         seq_id = os.path.basename(os.path.dirname(os.path.dirname(pc_path)))
         stem = os.path.splitext(os.path.basename(pc_path))[0]

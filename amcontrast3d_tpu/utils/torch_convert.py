@@ -115,19 +115,23 @@ def _convblock(seq: Dict[str, Any]):
 def _separable_la(seq: Dict[str, Any]):
     """Fused W·[dp; fj] conv2d block → separable {w_dp, w_f} pair (dp is
     concatenated FIRST in the reference get_aggregation_feautres, so the
-    first 3 input rows are the dp half)."""
+    first 3 input rows are the dp half).  Returns (params, stats, unmapped
+    key suffixes): the separable Dense pair is bias-free (released configs
+    use bias=False with BN), so a bias on the fused conv cannot be mapped —
+    it is reported so the drop is loud, never silent."""
     w = seq["0"]["weight"]
     w = w.reshape(w.shape[0], w.shape[1])  # (out, 3 + in)
     params: Dict[str, Any] = {
         "w_dp": {"kernel": np.ascontiguousarray(w[:, :3].T)},
         "w_f": {"kernel": np.ascontiguousarray(w[:, 3:].T)}}
     stats: Dict[str, Any] = {}
+    unmapped = ["0.bias"] if seq["0"].get("bias") is not None else []
     for idx in _sorted_int_keys(seq):
         if idx != "0" and _is_bn(seq[idx]):
             p, s = _bn(seq[idx])
             params["BatchNorm_0"] = p
             stats["BatchNorm_0"] = s
-    return params, stats
+    return params, stats, unmapped
 
 
 def _encoder_tree(enc: Dict[str, Any]):
@@ -154,7 +158,9 @@ def _encoder_tree(enc: Dict[str, Any]):
                     if s:
                         stats[name] = {"ConvBlock_0": s}
                 else:
-                    params[name], stats[name] = _separable_la(conv0)
+                    params[name], stats[name], la_un = _separable_la(conv0)
+                    unmapped += [f"encoder.encoder.{i}.0.convs.0.{u}"
+                                 for u in la_un]
             else:  # InvResMLP
                 bp, bs = {}, {}
                 la_convs = blk.get("convs", {}).get("convs", {})
@@ -162,8 +168,11 @@ def _encoder_tree(enc: Dict[str, Any]):
                              for c in _sorted_int_keys(la_convs) if c != "0"]
                 la = la_convs.get("0")
                 if la is not None:
-                    bp["LocalAggregation_0"], bs["LocalAggregation_0"] = \
-                        _separable_la(la)
+                    bp["LocalAggregation_0"], bs["LocalAggregation_0"], \
+                        la_un = _separable_la(la)
+                    unmapped += [
+                        f"encoder.encoder.{i}.{j}.convs.convs.0.{u}"
+                        for u in la_un]
                 for k in _sorted_int_keys(blk.get("pwconv", {})):
                     cp, cs = _convblock(blk["pwconv"][k])
                     bp[f"ConvBlock_{k}"] = cp

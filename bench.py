@@ -472,7 +472,39 @@ def main():
         "vs_baseline": None,
         "detail": detail,
     }
+    # Cross-round memory: the reference publishes no throughput number
+    # (vs_baseline stays null), so compare against the previous round's
+    # driver-recorded BENCH_r*.json — a silent regression becomes visible
+    # in the artifact itself.  Only the default axis is comparable (the
+    # driver always runs with default env).
+    if (recipe, kind, amp) == ("s3dis", "aa", False):
+        prev = _prev_round_value()
+        if prev is not None:
+            n_prev, v_prev = prev
+            result["vs_prev_round"] = round(pts_per_sec / v_prev, 4)
+            detail["prev_round"] = {"n": n_prev, "value": v_prev}
     print(json.dumps(result))
+
+
+def _prev_round_value():
+    """(round_n, points/s) from the newest parseable BENCH_r*.json."""
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            val = (rec.get("parsed") or {}).get("value")
+        except Exception:
+            continue
+        if val and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), float(val))
+    return best
 
 
 if __name__ == "__main__":

@@ -31,6 +31,7 @@ Usage:
         [--grid 0.06] [--sklearn-trees]
 """
 import argparse
+import json
 import os
 import pickle
 import sys
@@ -66,7 +67,14 @@ def _proj_indices(sub_points, raw_points):
 def prepare_scan(pc_file, label_file, grid_size, out_dirs, scan_stem,
                  need_proj, use_sklearn):
     points = load_pc_kitti(pc_file)
-    if label_file is not None and exists(label_file):
+    if label_file is not None and not exists(label_file):
+        # a train/val sequence with a missing .label file is a broken
+        # dataset, not an unlabeled scan — failing here keeps the error at
+        # the cause instead of surfacing as the loader's FileNotFoundError
+        # at training time
+        raise FileNotFoundError(
+            f"labeled sequence: {label_file} missing for scan {pc_file}")
+    if label_file is not None:
         # labels stay in the 0..19 space with 0=unlabeled (the reference
         # cache stores the remapped-but-unshifted labels; the −1 ignore
         # shift happens at load time, semantickitti.py)
@@ -97,6 +105,11 @@ def prepare_sequence(seq_path, seq_out, seq_id, grid_size,
                 for name in ("velodyne", "y", "KDTree", "proj")}
     for d in out_dirs.values():
         os.makedirs(d, exist_ok=True)
+    # record the grid size so the loader can assert cache-vs-config
+    # agreement (a 0.3-grid cache loaded under a 0.06 config is silent
+    # corruption otherwise)
+    with open(join(seq_out, "meta.json"), "w") as f:
+        json.dump({"grid_size": grid_size}, f)
     has_labels = seq_id in TRAIN_SEQS or seq_id == '08'
     # proj indices: seq 08 (val) and EVERY test sequence (>= 11), matching
     # the reference builder's else-branch (data_pre.py:225-242) — predictions
