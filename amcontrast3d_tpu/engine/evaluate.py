@@ -194,6 +194,11 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
     """↔ ``test_boundary_inner`` (main_AA.py:516-802): per-cloud voxel-rank
     subclouds → model → scatter-mean voting → global CM (+ optional
     boundary/inner and ambiguity-bucket CMs)."""
+    # ↔ main_AA.py:522 set_random_seed(0): pins the subcloud shuffle stream
+    # so test-mode predictions are reproducible (and comparable with the
+    # reference run on the same rooms)
+    from ..utils.random import set_random_seed
+    set_random_seed(0)
     predict = runner.predict_fn()
     # Multi-device test: score n_devices voxel-rank subclouds per dispatch
     # (the reference disallows multi-GPU testing outright, main_AA.py:362-363;
@@ -227,7 +232,11 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
         nearest_neighbor = len(idx_points) == 1 and voxel_idx is not None and \
             cfg.get("test_mode", "multi_voxel") == "nearest_neighbor"
 
-        # phase 1 — host prep of every voxel-rank subcloud
+        # phase 1 — host prep of every voxel-rank subcloud.  Padding draws
+        # from a local RNG so it does not perturb the global shuffle stream
+        # (the reference has no padding; keeping the np.random sequence
+        # identical makes the subcloud split byte-comparable).
+        pad_rng = np.random.RandomState(0)
         parts = []
         for idx_part in idx_points:
             coord_part = coord[idx_part].copy()
@@ -240,7 +249,7 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
                 data["heights"] = coord_part[:, gravity_dim:gravity_dim + 1].astype(np.float32)
             n = len(idx_part)
             nb = bucket_size(n, cfg.get("eval_bucket", 8192))
-            data = pad_cloud(data, nb)
+            data = pad_cloud(data, nb, rng=pad_rng)
             parts.append((idx_part, n, nb, data["pos"],
                           np.asarray(get_features_by_keys(data,
                                                           cfg.feature_keys))))
@@ -288,18 +297,32 @@ def test_whole_scenes(runner, state, data_list, cfg) -> Dict:
             label = np.asarray(label).squeeze().astype(np.int64)
             all_cm.update(pred, label)
 
-            if miou_b_i or action:
+            if miou_b_i:
+                # Reference protocol (main_AA.py:624-643): the boundary/inner
+                # split is PER-SUBCLOUD — each voxel-rank part contributes
+                # its own pre-voting argmax, masked by a posmask computed on
+                # that part's transformed coords (so a point in several
+                # ranks is counted once per rank, with that rank's
+                # prediction — not the voted one).
+                for (idx_part, n, _, pos_pad, _), logits in zip(parts,
+                                                                part_logits):
+                    label_part = label[idx_part]
+                    pm_part, _ = posmask_searching(
+                        np.asarray(pos_pad[:n]), label_part,
+                        aargs["nsample"], cfg.num_classes,
+                        cfg.get("ignore_index"))
+                    s = pm_part.sum(-1)
+                    boundary = np.logical_and(0 < s, s < aargs["nsample"])
+                    pred_part = logits.argmax(-1)
+                    cm_b.update(pred_part[boundary], label_part[boundary])
+                    cm_i.update(pred_part[~boundary], label_part[~boundary])
+            if action:
                 data_test = pipe_transform({"pos": coord.copy().astype(np.float32),
                                             "x": feat.copy() if feat is not None else None})
                 p_full = np.asarray(data_test["pos"])
                 posmask, neighbor_idx = posmask_searching(
                     p_full, label, aargs["nsample"], cfg.num_classes,
                     cfg.get("ignore_index"))
-            if miou_b_i:
-                s = posmask.sum(-1)
-                boundary = np.logical_and(0 < s, s < aargs["nsample"])
-                cm_b.update(pred[boundary], label[boundary])
-                cm_i.update(pred[~boundary], label[~boundary])
             if action:
                 a = ambiguity_for_cloud(p_full, posmask, neighbor_idx,
                                         aargs.get("cctype", "Method2"),

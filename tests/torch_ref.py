@@ -106,6 +106,19 @@ def _install_stubs():
     # the AA encoder builds offsets via torch.IntTensor([...]).cuda()
     # (pointnext_AA.py:461) — make .cuda() a no-op on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
+    # ThreeInterpolate.backward allocates with a hard-coded device='cuda'
+    # (upsampling.py:82) — downgrade just that case so the reference can
+    # also TRAIN on CPU (the eval-seam test briefly fits it to the fixture)
+    if not getattr(torch.zeros, "_amc3d_cpu_patch", False):
+        _orig_zeros = torch.zeros
+
+        def _zeros(*a, **k):
+            if str(k.get("device")) == "cuda":
+                k["device"] = "cpu"
+            return _orig_zeros(*a, **k)
+
+        _zeros._amc3d_cpu_patch = True
+        torch.zeros = _zeros
 
 
 def _install_fake_extensions():
@@ -153,12 +166,35 @@ def _install_fake_extensions():
         neigh = torch.gather(features, 2, flat).reshape(B, c, n, 3)
         output.copy_((neigh * weight.unsqueeze(1)).sum(-1))
 
+    # ---- backward wrappers (scatter-adds) so the reference model can also
+    # train on CPU (GroupingOperation/GatherOperation/ThreeInterpolate
+    # backward, cpp/pointnet2_batch/src/*_gpu.cu grad kernels)
+    def gather_points_grad_wrapper(B, C, N, npoint, grad_out, idx,
+                                   grad_features):
+        flat = idx.long().unsqueeze(1).expand(B, C, npoint)
+        grad_features.scatter_add_(2, flat, grad_out)
+
+    def group_points_grad_wrapper(B, C, N, npoint, nsample, grad_out, idx,
+                                  grad_features):
+        flat = idx.long().reshape(B, 1, npoint * nsample).expand(B, C, -1)
+        grad_features.scatter_add_(
+            2, flat, grad_out.reshape(B, C, npoint * nsample))
+
+    def three_interpolate_grad_wrapper(B, c, n, m, grad_out, idx, weight,
+                                       grad_features):
+        contrib = grad_out.unsqueeze(-1) * weight.unsqueeze(1)  # (B,c,n,3)
+        flat = idx.long().reshape(B, 1, n * 3).expand(B, c, -1)
+        grad_features.scatter_add_(2, flat, contrib.reshape(B, c, n * 3))
+
     pn2.furthest_point_sampling_wrapper = furthest_point_sampling_wrapper
     pn2.gather_points_wrapper = gather_points_wrapper
     pn2.group_points_wrapper = group_points_wrapper
     pn2.ball_query_wrapper = ball_query_wrapper
     pn2.three_nn_wrapper = three_nn_wrapper
     pn2.three_interpolate_wrapper = three_interpolate_wrapper
+    pn2.gather_points_grad_wrapper = gather_points_grad_wrapper
+    pn2.group_points_grad_wrapper = group_points_grad_wrapper
+    pn2.three_interpolate_grad_wrapper = three_interpolate_grad_wrapper
     sys.modules["pointnet2_batch_cuda"] = pn2
 
     pops = types.ModuleType("pointops_cuda")
