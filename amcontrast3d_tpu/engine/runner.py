@@ -218,6 +218,7 @@ class Runner:
                                wandb_cfg=cfg.get("wandb"))
         best_val, best_epoch = 0.0, 0
         val_miou = val_macc = val_oa = 0.0
+        last_refine_rate = None
         for epoch in range(start_epoch, self.epochs + 1):
             train_loader.set_epoch(epoch)
             t0 = time.time()
@@ -284,6 +285,8 @@ class Runner:
             writer.add_scalar("lr", lr, epoch)
             for k, m in extra_meters.items():
                 writer.add_scalar(k, m.avg, epoch)
+            if "refine_rate" in extra_meters:  # surfaced in results for the
+                last_refine_rate = extra_meters["refine_rate"].avg  # gate
             if cfg.get("ckpt_dir"):
                 save_checkpoint(cfg, {"params": state.params,
                                       "batch_stats": state.batch_stats,
@@ -291,9 +294,14 @@ class Runner:
                                 epoch, additioanl_dict={"best_val": best_val},
                                 is_best=is_best)
         writer.close()
-        return state, {"best_val": best_val, "best_epoch": best_epoch,
-                       "val_miou": val_miou, "val_macc": val_macc,
-                       "val_oa": val_oa}
+        results = {"best_val": best_val, "best_epoch": best_epoch,
+                   "val_miou": val_miou, "val_macc": val_macc,
+                   "val_oa": val_oa}
+        if last_refine_rate is not None:
+            # final-epoch mean DualMasks refine-rate % (MM only) — the
+            # convergence gate asserts it stays in a sane band
+            results["refine_rate"] = round(float(last_refine_rate), 3)
+        return state, results
 
     # ------------------------------------------------------------------
     def validate(self, state, val_loader):

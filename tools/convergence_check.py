@@ -137,6 +137,16 @@ def main():
             best = float(res.get("best_val", 0.0))
             oa = float(res.get("val_oa", 0.0))
             ok = best >= args.bar and oa >= args.oa_bar
+            if kind == "mm":
+                # refine-rate sane band: 0 means DualMasks never fires
+                # (dead refinement path), ~100 means the self-mask is
+                # degenerate — either way the ++ path is broken even if
+                # the metric bars pass (VERDICT r4 next #2)
+                rr = res.get("refine_rate")
+                rr_ok = rr is not None and 0.05 <= float(rr) <= 90.0
+                ok = ok and rr_ok
+                print(f"[mm] final refine_rate={rr}% "
+                      f"(band 0.05..90) -> {'PASS' if rr_ok else 'FAIL'}")
             summary[f"{kind}_train"] = {**res, "bar": args.bar,
                                         "oa_bar": args.oa_bar, "pass": ok}
             print(f"[{kind}] train: best_val={best:.2f} val_oa={oa:.2f} "
