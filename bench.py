@@ -263,6 +263,11 @@ def main():
     ambiguity_args = dict(AMBIGUITY_ARGS)
     if scannet:
         ambiguity_args.update(nu=0.6, temperature=0.5)
+    # BENCH_REMAT=1 → loss-side rematerialization (ambiguity_args.remat):
+    # the memory lever that fits B=8/chip at flagship shapes (README
+    # 'Selective rematerialization')
+    if os.environ.get("BENCH_REMAT", "0") != "0":
+        ambiguity_args["remat"] = True
     if kind == "mm":
         from amcontrast3d_tpu.loss import CrossEntropyAcePre
         from amcontrast3d_tpu.models import BaseSeg_M_AMContrast3D

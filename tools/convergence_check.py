@@ -108,6 +108,19 @@ def main():
                          "{0.995, 0.99, 0.95}; report the best-val mIoU "
                          "curve vs exact so the default recall's cost is a "
                          "measured number (docs/DEVIATIONS.md §2)")
+    ap.add_argument("--recall-legs", default="exact,r0995,r099,r095",
+                    help="subset of recall-sweep legs to run")
+    ap.add_argument("--recall-seeds", default=None,
+                    help="comma list of seeds for the recall sweep (default: "
+                         "just --seed); with several seeds each leg reports "
+                         "mean and spread (VERDICT r4 next #5)")
+    ap.add_argument("--deltas-variants", default="ce,aa,mm",
+                    help="subset of delta variants to run (lets extra seeds "
+                         "be added for aa/mm without re-running ce)")
+    ap.add_argument("--deltas-asserts", action="store_true", default=None,
+                    help="force the delta regression asserts even on a "
+                         "variant subset (default: asserts only when all "
+                         "three variants ran)")
     ap.add_argument("--agg-fused", action="store_true",
                     help="also train AA with AMC3D_AGG_FUSED=auto (the slot "
                          "one-hot gather-reduce aggregation tail, "
@@ -248,26 +261,42 @@ def main():
                     "datatransforms.kwargs.color_drop=0.0",
                     "dataset.train.loop=8", "val_freq=1",
                     f"epochs={args.epochs}", f"seed={args.seed}"]
+            legs = {"exact": {"AMC3D_KNN_BACKEND": "exact"},
+                    "r0995": {"AMC3D_KNN_BACKEND": "approx",
+                              "AMC3D_KNN_RECALL": "0.995"},
+                    "r099": {"AMC3D_KNN_BACKEND": "approx",
+                             "AMC3D_KNN_RECALL": "0.99"},
+                    "r095": {"AMC3D_KNN_BACKEND": "approx",
+                             "AMC3D_KNN_RECALL": "0.95"}}
+            seeds = ([int(s) for s in args.recall_seeds.split(",")]
+                     if args.recall_seeds else [args.seed])
+            # the `hard` list above pins --seed; strip it for the per-seed
+            # sweep so every (leg, seed) pair is explicit
+            hard_ns = [h for h in hard if not h.startswith("seed=")]
             sweep = {}
-            for name, env in [
-                    ("exact", {"AMC3D_KNN_BACKEND": "exact"}),
-                    ("r0995", {"AMC3D_KNN_BACKEND": "approx",
-                               "AMC3D_KNN_RECALL": "0.995"}),
-                    ("r099", {"AMC3D_KNN_BACKEND": "approx",
-                              "AMC3D_KNN_RECALL": "0.99"}),
-                    ("r095", {"AMC3D_KNN_BACKEND": "approx",
-                              "AMC3D_KNN_RECALL": "0.95"})]:
-                root = os.path.join(tmp, f"recall_{name}")
-                res = run_phase("aa", ["--cfg", cfg, f"root_dir={root}",
-                                       *hard, *args.override],
-                                f"recall_{name}", tmp, extra_env=env)
-                sweep[name] = float(res.get("best_val", 0.0))
-                print(f"[recall] {name}: best_val={sweep[name]:.2f}",
-                      flush=True)
-            summary["recall_sweep"] = {
-                **sweep,
-                "delta_vs_exact": {k: round(v - sweep["exact"], 3)
-                                   for k, v in sweep.items()}}
+            for name in args.recall_legs.split(","):
+                name = name.strip()
+                env = legs[name]
+                vals = []
+                for sd in seeds:
+                    root = os.path.join(tmp, f"recall_{name}_{sd}")
+                    res = run_phase(
+                        "aa", ["--cfg", cfg, f"root_dir={root}",
+                               f"seed={sd}", *hard_ns, *args.override],
+                        f"recall_{name}_{sd}", tmp, extra_env=env)
+                    vals.append(float(res.get("best_val", 0.0)))
+                    print(f"[recall] {name} seed={sd}: "
+                          f"best_val={vals[-1]:.2f}", flush=True)
+                sweep[name] = {
+                    "seeds": seeds, "best_vals": vals,
+                    "mean": round(sum(vals) / len(vals), 3),
+                    "spread": round(max(vals) - min(vals), 3)}
+            entry = {k: v for k, v in sweep.items()}
+            if "exact" in sweep:
+                entry["delta_vs_exact_mean"] = {
+                    k: round(v["mean"] - sweep["exact"]["mean"], 3)
+                    for k, v in sweep.items()}
+            summary["recall_sweep"] = entry
 
         if args.deltas:
             import statistics
@@ -281,6 +310,9 @@ def main():
                 "aa": ("aa", []),
                 "mm": ("mm", []),
             }
+            wanted = [v.strip() for v in args.deltas_variants.split(",")
+                      if v.strip()]
+            variants = {k: v for k, v in variants.items() if k in wanted}
             scores = {v: [] for v in variants}
             for s in range(args.deltas):
                 seed = args.seed + 100 * s
@@ -299,6 +331,20 @@ def main():
             mean = {v: statistics.mean(xs) for v, xs in scores.items()}
             spread = {v: (max(xs) - min(xs) if len(xs) > 1 else 0.0)
                       for v, xs in scores.items()}
+            if set(variants) != {"ce", "aa", "mm"} and not args.deltas_asserts:
+                # variant subset (extra seeds for aa/mm): record scores only;
+                # cross-variant asserts need all three arms in one summary
+                summary["deltas"] = {"scores": scores, "mean": mean,
+                                     "seed_spread": spread,
+                                     "variants": sorted(variants)}
+                print(f"[deltas] subset {sorted(variants)}: "
+                      f"means {mean} spreads {spread}")
+                summary["pass"] = not failed
+                print(json.dumps(summary))
+                if args.out:
+                    with open(args.out, "w") as f:
+                        json.dump(summary, f, indent=2)
+                sys.exit(1 if failed else 0)
             d_aa = mean["aa"] - mean["ce"]
             d_mm = mean["mm"] - mean["aa"]
             order_ct = sum(1 for c, a in zip(scores["ce"], scores["aa"])
